@@ -1,0 +1,1027 @@
+"""The gene-space de Bruijn graph ("gene-mer graph"), tensor-first.
+
+Re-designs amira/construct_graph.py's dict-of-objects GeneMerGraph: gene-mer
+enumeration, canonicalization and hashing run as one batched JAX computation
+(amira_tpu/ops/hashing.py); node/edge/coverage tables are then assembled with
+vectorized numpy group-bys instead of per-object Python dispatch. The
+resulting graph keeps the reference's exact identity and coverage semantics
+(construct_graph.py:31-102) so every downstream algorithm (correction, bubble
+popping, path clustering) sees an equivalent structure.
+
+Mutation (node/edge removal, filtering) and the irregular traversals operate
+on compact host-side tables; they are a tiny fraction of runtime next to the
+dozens of full rebuilds the pipeline performs, which are the device-side hot
+path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from amira_tpu.ops.hashing import edge_key, genemer_windows
+from amira_tpu.vocab import GeneVocab, pack_reads, reverse_tokens
+
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _graph_kernel(tokens, lengths, k):
+    """Device-side gene-mer + edge-record enumeration for a padded read batch.
+
+    Returns per-window node hashes/directions/validity and, for each adjacent
+    window pair, the two canonical edge keys (fwd edge and its rc companion,
+    mirroring construct_graph.py:246-324).
+    """
+    win = genemer_windows(tokens, lengths, k)
+    nh, nd, valid = win["node_hash"], win["direction"], win["valid"]
+    if nh.shape[1] >= 2:
+        src_h, tgt_h = nh[:, :-1], nh[:, 1:]
+        src_d, tgt_d = nd[:, :-1], nd[:, 1:]
+        e_fwd = edge_key(src_h, src_d, tgt_h, tgt_d)
+        e_rev = edge_key(tgt_h, -tgt_d, src_h, -src_d)
+        e_valid = valid[:, :-1] & valid[:, 1:]
+    else:
+        z = jnp.zeros((nh.shape[0], 0))
+        e_fwd = e_rev = z.astype(jnp.uint64)
+        e_valid = z.astype(bool)
+    return nh, nd, valid, e_fwd, e_rev, e_valid
+
+
+class Node:
+    """Graph node = one canonical gene-mer (construct_node.py:4-154)."""
+
+    __slots__ = (
+        "hash",
+        "tokens",  # canonical signed gene tokens, np.int32 (k,)
+        "coverage",
+        "reads",  # ordered list of read ids (dedup, first-occurrence order)
+        "_read_set",
+        "fwd_edges",  # edge keys where this node is source with direction +1
+        "bwd_edges",  # edge keys where this node is source with direction -1
+        "component",
+        "color",
+        "node_id",
+    )
+
+    def __init__(self, node_hash: int, tokens: np.ndarray):
+        self.hash = node_hash
+        self.tokens = tokens
+        self.coverage = 0
+        self.reads = []
+        self._read_set = set()
+        self.fwd_edges = []
+        self.bwd_edges = []
+        self.component = None
+        self.color = None
+        self.node_id = None
+
+    # --- reference-compatible accessors ---
+    def __hash__(self):
+        return self.hash
+
+    def get_node_coverage(self):
+        return self.coverage
+
+    def increment_node_coverage(self):
+        self.coverage += 1
+        return self.coverage
+
+    def get_list_of_reads(self):
+        return self.reads
+
+    def get_reads(self):
+        return iter(self.reads)
+
+    def add_read(self, read_id: str):
+        if read_id not in self._read_set:
+            self._read_set.add(read_id)
+            self.reads.append(read_id)
+
+    def remove_read(self, read_id: str):
+        self._read_set.discard(read_id)
+        try:
+            self.reads.remove(read_id)
+        except ValueError:
+            pass
+
+    def get_forward_edge_hashes(self):
+        return self.fwd_edges
+
+    def get_backward_edge_hashes(self):
+        return self.bwd_edges
+
+    def get_component(self):
+        return self.component
+
+    def set_component(self, cid):
+        self.component = int(cid)
+        return self.component
+
+
+class Edge:
+    """Directed edge record with orientation (construct_edge.py:31-124)."""
+
+    __slots__ = ("key", "src", "tgt", "src_dir", "tgt_dir", "coverage")
+
+    def __init__(self, key, src, tgt, src_dir, tgt_dir):
+        self.key = key
+        self.src = src  # node hash
+        self.tgt = tgt  # node hash
+        self.src_dir = int(src_dir)
+        self.tgt_dir = int(tgt_dir)
+        self.coverage = 0
+
+    def __hash__(self):
+        return self.key
+
+    def get_sourceNode(self):  # kept name-compatible for porting ease
+        return self.src
+
+    def get_targetNode(self):
+        return self.tgt
+
+    def get_sourceNodeDirection(self):
+        return self.src_dir
+
+    def get_targetNodeDirection(self):
+        return self.tgt_dir
+
+    def get_edge_coverage(self):
+        return self.coverage
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    """Round up to the next power of two (shape-bucketing for jit)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _sliding_windows(arr2d: np.ndarray, k: int) -> np.ndarray:
+    """(R, L) -> (R, W, k) view of all length-k windows."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return sliding_window_view(arr2d, k, axis=1)
+
+
+class GeneMerGraph:
+    def __init__(self, readDict, kmerSize, gene_positions=None, vocab=None):
+        self._reads = dict(readDict)
+        self._kmerSize = int(kmerSize)
+        self._genePositions = gene_positions
+        self._minNodeCoverage = 1
+        self._minEdgeCoverage = 1
+        self.vocab = vocab if vocab is not None else GeneVocab()
+        self._nodes: dict[int, Node] = {}
+        self._edges: dict[int, Edge] = {}
+        self._readNodes: dict[str, list] = {}
+        self._readNodeDirections: dict[str, list] = {}
+        self._readNodePositions: dict[str, list] = {}
+        self._shortReads: dict[str, list] = {}
+        self._readsToCorrect: set[str] = set()
+        self._build()
+
+    # ------------------------------------------------------------------ build
+
+    def _build(self):
+        k = self._kmerSize
+        read_ids = list(self._reads.keys())
+        if not read_ids:
+            return
+        tok_list = [self.vocab.encode_read(self._reads[r]) for r in read_ids]
+        lengths = np.asarray([len(t) for t in tok_list], dtype=np.int32)
+
+        # short reads (< k genes) contribute nothing to the graph
+        for i, r in enumerate(read_ids):
+            if lengths[i] < k:
+                self._shortReads[r] = self._reads[r]
+
+        keep = lengths >= k
+        if not keep.any():
+            return
+        kept_ids = [r for r, m in zip(read_ids, keep) if m]
+        kept_tok = [t for t, m in zip(tok_list, keep) if m]
+        # bucket the padded shape so jit compiles once per (k, bucket) rather
+        # than once per read batch
+        lmax = max(len(t) for t in kept_tok)
+        tokens, klengths = pack_reads(kept_tok, pad_to=_bucket(lmax))
+        n_pad = _bucket(len(kept_tok)) - len(kept_tok)
+        if n_pad:
+            tokens = np.vstack(
+                [tokens, np.zeros((n_pad, tokens.shape[1]), dtype=np.int32)]
+            )
+            klengths = np.concatenate(
+                [klengths, np.zeros(n_pad, dtype=np.int32)]
+            )
+        nh, nd, valid, e_fwd, e_rev, e_valid = _graph_kernel(tokens, klengths, k)
+        nh = np.asarray(nh)
+        nd = np.asarray(nd)
+        valid = np.asarray(valid)
+        e_fwd = np.asarray(e_fwd)
+        e_rev = np.asarray(e_rev)
+        e_valid = np.asarray(e_valid)
+
+        windows = _sliding_windows(tokens, k)  # (R, W, k)
+
+        # ---- flatten node occurrences (row-major = read order, window order)
+        r_idx, w_idx = np.nonzero(valid)
+        occ_hash = nh[r_idx, w_idx]
+        occ_dir = nd[r_idx, w_idx].astype(np.int64)
+
+        # per-read node/direction/position lists
+        n_windows = valid.sum(axis=1)
+        has_pos = self._genePositions is not None
+        for ri, rid in enumerate(kept_ids):
+            w = int(n_windows[ri])
+            self._readNodes[rid] = [int(h) for h in nh[ri, :w]]
+            self._readNodeDirections[rid] = [int(d) for d in nd[ri, :w]]
+            if has_pos:
+                pos = self._genePositions[rid]
+                self._readNodePositions[rid] = [
+                    (pos[j][0], pos[j + k - 1][1]) for j in range(w)
+                ]
+            else:
+                self._readNodePositions[rid] = [None] * w
+
+        # ---- node table: group occurrences by hash
+        order = np.argsort(occ_hash, kind="stable")
+        sorted_hash = occ_hash[order]
+        uniq_mask = np.ones(len(sorted_hash), dtype=bool)
+        uniq_mask[1:] = sorted_hash[1:] != sorted_hash[:-1]
+        group_starts = np.nonzero(uniq_mask)[0]
+        group_ends = np.append(group_starts[1:], len(sorted_hash))
+        # first occurrence (in read order) of each unique hash
+        first_occ = np.minimum.reduceat(order, group_starts)
+        # preserve reference insertion order: nodes appear in first-occurrence order
+        node_order = np.argsort(first_occ, kind="stable")
+        for gi in node_order:
+            s, e = group_starts[gi], group_ends[gi]
+            h = int(sorted_hash[s])
+            fo = int(first_occ[gi])
+            ri, wi = int(r_idx[fo]), int(w_idx[fo])
+            wtok = windows[ri, wi].astype(np.int32)
+            # direction of the first occurrence orients canonical extraction
+            canon = wtok if int(nd[ri, wi]) == 1 else reverse_tokens(wtok)
+            node = Node(h, np.ascontiguousarray(canon))
+            node.coverage = int(e - s)
+            self._nodes[h] = node
+
+        # reads per node, in first-occurrence order within each node
+        for oi in range(len(occ_hash)):
+            node = self._nodes[int(occ_hash[oi])]
+            rid = kept_ids[int(r_idx[oi])]
+            if rid not in node._read_set:
+                node._read_set.add(rid)
+                node.reads.append(rid)
+
+        # ---- edge table
+        er_idx, ew_idx = np.nonzero(e_valid)
+        if len(er_idx):
+            src_h = nh[er_idx, ew_idx]
+            tgt_h = nh[er_idx, ew_idx + 1]
+            src_d = nd[er_idx, ew_idx].astype(np.int64)
+            tgt_d = nd[er_idx, ew_idx + 1].astype(np.int64)
+            fwd_keys = e_fwd[er_idx, ew_idx]
+            rev_keys = e_rev[er_idx, ew_idx]
+            # fwd edge: (src, sd) -> (tgt, td); companion: (tgt, -td) -> (src, -sd)
+            all_keys = np.concatenate([fwd_keys, rev_keys])
+            all_src = np.concatenate([src_h, tgt_h])
+            all_tgt = np.concatenate([tgt_h, src_h])
+            all_sd = np.concatenate([src_d, -tgt_d])
+            all_td = np.concatenate([tgt_d, -src_d])
+            # interleave so insertion order matches the reference (fwd then rev
+            # per occurrence): build order index
+            n = len(fwd_keys)
+            occ_order = np.empty(2 * n, dtype=np.int64)
+            occ_order[0::2] = np.arange(n)  # position of fwd edge i
+            occ_order[1::2] = n + np.arange(n)
+            all_keys = all_keys[occ_order]
+            all_src = all_src[occ_order]
+            all_tgt = all_tgt[occ_order]
+            all_sd = all_sd[occ_order]
+            all_td = all_td[occ_order]
+
+            eorder = np.argsort(all_keys, kind="stable")
+            skeys = all_keys[eorder]
+            emask = np.ones(len(skeys), dtype=bool)
+            emask[1:] = skeys[1:] != skeys[:-1]
+            estarts = np.nonzero(emask)[0]
+            eends = np.append(estarts[1:], len(skeys))
+            efirst = np.minimum.reduceat(eorder, estarts)
+            e_insert = np.argsort(efirst, kind="stable")
+            for gi in e_insert:
+                s, e = estarts[gi], eends[gi]
+                fo = int(efirst[gi])
+                key = int(skeys[s])
+                edge = Edge(
+                    key,
+                    int(all_src[fo]),
+                    int(all_tgt[fo]),
+                    int(all_sd[fo]),
+                    int(all_td[fo]),
+                )
+                edge.coverage = int(e - s)
+                self._edges[key] = edge
+                src_node = self._nodes[edge.src]
+                if edge.src_dir == 1:
+                    if key not in src_node.fwd_edges:
+                        src_node.fwd_edges.append(key)
+                else:
+                    if key not in src_node.bwd_edges:
+                        src_node.bwd_edges.append(key)
+
+        self.assign_component_ids()
+
+    # ------------------------------------------------------------- accessors
+
+    def get_reads(self):
+        return self._reads
+
+    def get_gene_positions(self):
+        return self._genePositions
+
+    def get_readNodes(self):
+        return self._readNodes
+
+    def get_readNodeDirections(self):
+        return self._readNodeDirections
+
+    def get_readNodePositions(self):
+        return self._readNodePositions
+
+    def get_kmerSize(self):
+        return self._kmerSize
+
+    def get_nodes(self):
+        return self._nodes
+
+    def get_edges(self):
+        return self._edges
+
+    def get_minNodeCoverage(self):
+        return self._minNodeCoverage
+
+    def get_minEdgeCoverage(self):
+        return self._minEdgeCoverage
+
+    def get_short_read_annotations(self):
+        return self._shortReads
+
+    def get_short_read_gene_positions(self):
+        if self._genePositions is None:
+            return {}
+        return {r: self._genePositions[r] for r in self._shortReads}
+
+    def get_reads_to_correct(self):
+        return self._readsToCorrect
+
+    def all_nodes(self):
+        return iter(list(self._nodes.values()))
+
+    def get_node_by_hash(self, h) -> Node:
+        return self._nodes[h]
+
+    def get_edge_by_hash(self, key) -> Edge:
+        return self._edges[key]
+
+    def get_total_number_of_nodes(self):
+        return len(self._nodes)
+
+    def get_total_number_of_edges(self):
+        return len(self._edges)
+
+    def get_total_number_of_reads(self):
+        return len(self._reads)
+
+    def get_reads_for_nodes(self, node_hashes) -> set:
+        reads = set()
+        for h in node_hashes:
+            if h in self._nodes:
+                reads.update(self._nodes[h].reads)
+        return reads
+
+    def collect_reads_in_path(self, path) -> set:
+        reads = set()
+        for h in path:
+            node = self._nodes.get(h)
+            if node is not None:
+                reads.update(node.reads)
+        return reads
+
+    # ------------------------------------------------ gene-name conversions
+
+    def get_gene_mer_genes(self, node: Node) -> list[str]:
+        """Stranded gene strings of the canonical gene-mer."""
+        return [self.vocab.decode_gene(t) for t in node.tokens]
+
+    def get_reverse_gene_mer_genes(self, node: Node) -> list[str]:
+        return [self.vocab.decode_gene(t) for t in reverse_tokens(node.tokens)]
+
+    def get_gene_mer_label(self, node: Node) -> str:
+        return "~~~".join(self.get_gene_mer_genes(node))
+
+    def reverse_list_of_genes(self, genes: list[str]) -> list[str]:
+        return [("-" if g[0] == "+" else "+") + g[1:] for g in reversed(genes)]
+
+    def get_nodes_containing(self, gene_name: str) -> list[Node]:
+        """All nodes whose gene-mer contains the (strandless) gene."""
+        assert gene_name[0] not in "+-", (
+            "Strand information cannot be present for any specified genes"
+        )
+        if gene_name not in self.vocab:
+            return []
+        gid = self.vocab.id_of(gene_name)
+        return [n for n in self._nodes.values() if gid in np.abs(n.tokens)]
+
+    def get_AMR_nodes(self, gene_names) -> dict[int, Node]:
+        amr = {}
+        gids = {self.vocab.id_of(g) for g in gene_names if g in self.vocab}
+        if not gids:
+            return amr
+        for node in self._nodes.values():
+            if any(int(a) in gids for a in np.abs(node.tokens)):
+                amr[node.hash] = node
+        return amr
+
+    # -------------------------------------------------------------- topology
+
+    def get_degree(self, node: Node) -> int:
+        return len(node.fwd_edges) + len(node.bwd_edges)
+
+    def get_forward_edges(self, node: Node):
+        return [self._edges[k] for k in node.fwd_edges]
+
+    def get_backward_edges(self, node: Node):
+        return [self._edges[k] for k in node.bwd_edges]
+
+    def get_forward_neighbors(self, node: Node):
+        return [self._nodes[e.tgt] for e in self.get_forward_edges(node)]
+
+    def get_backward_neighbors(self, node: Node):
+        return [self._nodes[e.tgt] for e in self.get_backward_edges(node)]
+
+    def get_all_neighbors(self, node: Node):
+        return self.get_forward_neighbors(node) + self.get_backward_neighbors(node)
+
+    def get_all_neighbor_hashes(self, node: Node) -> set:
+        return {
+            self._edges[key].tgt for key in node.fwd_edges + node.bwd_edges
+        }
+
+    def check_if_nodes_are_adjacent(self, a: Node, b: Node) -> bool:
+        return b.hash in self.get_all_neighbor_hashes(a) and a.hash in self.get_all_neighbor_hashes(b)
+
+    def get_edge_hashes_between_nodes(self, a: Node, b: Node):
+        """(a->b edge key(s), b->a edge key(s)); scalars when unambiguous.
+
+        Mirrors construct_graph.py:364-386.
+        """
+        ab = [k for k in a.fwd_edges + a.bwd_edges if self._edges[k].tgt == b.hash]
+        ba = [k for k in b.fwd_edges + b.bwd_edges if self._edges[k].tgt == a.hash]
+        assert ab and ba, "There are edges missing from the source and target nodes"
+        if len(ab) == 1 and len(ba) == 1:
+            return (ab[0], ba[0])
+        return (ab, ba)
+
+    def get_edges_between_nodes(self, a: Node, b: Node):
+        ab, ba = self.get_edge_hashes_between_nodes(a, b)
+        if not isinstance(ab, list):
+            return self._edges[ab], self._edges[ba]
+        return [self._edges[k] for k in ab], [self._edges[k] for k in ba]
+
+    def get_direction_between_two_nodes(self, src_hash, tgt_hash):
+        s2t, _ = self.get_edges_between_nodes(
+            self._nodes[src_hash], self._nodes[tgt_hash]
+        )
+        if isinstance(s2t, list):
+            s2t = s2t[0]
+        return s2t.tgt_dir * -1
+
+    # -------------------------------------------------------------- mutation
+
+    def remove_edge(self, key):
+        if key not in self._edges:
+            return
+        edge = self._edges[key]
+        src = self._nodes.get(edge.src)
+        if src is not None:
+            lst = src.fwd_edges if edge.src_dir == 1 else src.bwd_edges
+            try:
+                lst.remove(key)
+            except ValueError:
+                pass
+        del self._edges[key]
+
+    def remove_node_from_reads(self, node: Node):
+        """Null the node out of every read's node list and mark those reads
+        for correction (construct_graph.py:442-461)."""
+        h = node.hash
+        for rid in node.reads:
+            nodes = self._readNodes.get(rid)
+            if nodes is None:
+                continue
+            dirs = self._readNodeDirections[rid]
+            poss = self._readNodePositions[rid]
+            for i in range(len(nodes)):
+                if nodes[i] == h:
+                    nodes[i] = None
+                    dirs[i] = None
+                    poss[i] = None
+            self._readsToCorrect.add(rid)
+
+    def remove_node(self, node: Node):
+        h = node.hash
+        assert h in self._nodes, "This node is not in the graph"
+        self.remove_node_from_reads(node)
+        # remove every edge between this node and each neighbor (both
+        # directions), matching construct_graph.py:472-482
+        for key in list(set(node.fwd_edges + node.bwd_edges)):
+            if key not in self._edges:
+                continue
+            tgt_hash = self._edges[key].tgt
+            tgt = self._nodes.get(tgt_hash)
+            if tgt is None or tgt_hash == h:
+                self.remove_edge(key)
+                continue
+            ab = [k for k in node.fwd_edges + node.bwd_edges if self._edges[k].tgt == tgt_hash]
+            ba = [k for k in tgt.fwd_edges + tgt.bwd_edges if self._edges[k].tgt == h]
+            for e in ab + ba:
+                self.remove_edge(e)
+        del self._nodes[h]
+
+    def list_nodes_to_remove(self, min_node_coverage):
+        return {
+            n for n in self._nodes.values() if n.coverage < min_node_coverage
+        }
+
+    def filter_graph(self, minNodeCoverage, minEdgeCoverage):
+        self._minNodeCoverage = minNodeCoverage
+        self._minEdgeCoverage = minEdgeCoverage
+        nodes_to_remove = self.list_nodes_to_remove(minNodeCoverage)
+        doomed_hashes = {n.hash for n in nodes_to_remove}
+        edges_to_remove = [
+            k
+            for k, e in self._edges.items()
+            if e.coverage < minEdgeCoverage
+            or e.src in doomed_hashes
+            or e.tgt in doomed_hashes
+        ]
+        for k in edges_to_remove:
+            self.remove_edge(k)
+        for n in nodes_to_remove:
+            self.remove_node(n)
+        return self
+
+    # ------------------------------------------------------------ components
+
+    def assign_component_ids(self):
+        """Connected-component labelling via iterative BFS (replaces the
+        reference's recursive DFS, construct_graph.py:911-927, which hits a
+        50k recursion wall)."""
+        visited = set()
+        cid = 0
+        for h, node in self._nodes.items():
+            if h in visited:
+                continue
+            cid += 1
+            stack = [h]
+            visited.add(h)
+            while stack:
+                cur = stack.pop()
+                cur_node = self._nodes[cur]
+                cur_node.component = cid
+                for nb in self.get_all_neighbor_hashes(cur_node):
+                    if nb not in visited:
+                        visited.add(nb)
+                        stack.append(nb)
+
+    def components(self):
+        return sorted({n.component for n in self._nodes.values()})
+
+    def get_number_of_component(self):
+        return len(self.components())
+
+    def get_nodes_in_component(self, component):
+        component = int(component)
+        return [n for n in self._nodes.values() if n.component == component]
+
+    def remove_low_coverage_components(self, min_component_coverage):
+        for cid in self.components():
+            nodes = self.get_nodes_in_component(cid)
+            if all(n.coverage < min_component_coverage for n in nodes):
+                for n in nodes:
+                    self.remove_node(n)
+
+    # ---------------------------------------------------------- linear paths
+
+    def get_forward_node_from_node(self, node: Node):
+        if len(node.fwd_edges) == 1:
+            edge = self._edges[node.fwd_edges[0]]
+            tgt = self._nodes[edge.tgt]
+            deg = self.get_degree(tgt)
+            if deg <= 2 and tgt.hash != node.hash:
+                return True, tgt, edge.tgt_dir
+            return False, tgt, edge.tgt_dir
+        return False, None, None
+
+    def get_backward_node_from_node(self, node: Node):
+        if len(node.bwd_edges) > 0:
+            edge = self._edges[node.bwd_edges[0]]
+            tgt = self._nodes[edge.tgt]
+            deg = self.get_degree(tgt)
+            if deg <= 2 and tgt.hash != node.hash:
+                return True, tgt, edge.tgt_dir
+            return False, tgt, edge.tgt_dir
+        return False, None, None
+
+    def get_forward_path_from_node(self, node: Node, start_direction, want_branched=False):
+        path = [node.hash]
+        step = (
+            self.get_forward_node_from_node
+            if start_direction == 1
+            else self.get_backward_node_from_node
+        )
+        extend, nxt, nxt_dir = step(node)
+        while extend:
+            if path[0] == nxt.hash:
+                break
+            path.append(nxt.hash)
+            step = (
+                self.get_forward_node_from_node
+                if nxt_dir == 1
+                else self.get_backward_node_from_node
+            )
+            extend, nxt, nxt_dir = step(nxt)
+        if want_branched and nxt is not None:
+            path.append(nxt.hash)
+        return path
+
+    def get_backward_path_from_node(self, node: Node, start_direction, want_branched=False):
+        path = [node.hash]
+        step = (
+            self.get_backward_node_from_node
+            if start_direction == -1
+            else self.get_forward_node_from_node
+        )
+        extend, nxt, nxt_dir = step(node)
+        while extend:
+            if path[-1] == nxt.hash:
+                break
+            path.insert(0, nxt.hash)
+            step = (
+                self.get_backward_node_from_node
+                if nxt_dir == -1
+                else self.get_forward_node_from_node
+            )
+            extend, nxt, nxt_dir = step(nxt)
+        if want_branched and nxt is not None:
+            path.insert(0, nxt.hash)
+        return path
+
+    def _node_observed_direction(self, node: Node):
+        """Direction of the first stored occurrence of this gene-mer.
+
+        The reference keeps the GeneMer of the first occurrence on the Node
+        and uses its direction to seed linear-path walks
+        (construct_graph.py:849-861); equivalently this is +1 because the
+        canonical tokens were extracted from that first occurrence.
+        """
+        return 1
+
+    def get_linear_path_for_node(self, node: Node, want_branched=False):
+        d = self._node_observed_direction(node)
+        backward = self.get_backward_path_from_node(node, -d, want_branched)
+        forward = self.get_forward_path_from_node(node, d, want_branched)
+        assert backward[-1] == node.hash
+        assert forward[0] == node.hash
+        return backward[:-1] + [node.hash] + forward[1:]
+
+    # ------------------------------------------------------------- coverages
+
+    def get_all_node_coverages(self):
+        return [n.coverage for n in self._nodes.values()]
+
+    def get_mean_node_coverage(self):
+        covs = self.get_all_node_coverages()
+        return float(np.mean(covs)) if covs else 0.0
+
+    def calculate_mean_node_coverage(self):
+        return self.get_mean_node_coverage()
+
+    # --------------------------------------------------- unitigs / gene lists
+
+    def get_genes_in_unitig(self, node_path):
+        """Stitch stranded gene strings along a node path, reconciling
+        per-node orientations (construct_graph.py:617-677)."""
+        if len(node_path) == 1:
+            return self.get_gene_mer_genes(self._nodes[node_path[0]])
+        k = self._kmerSize
+        annotations: list[str] = []
+        errored = False
+        for i in range(len(node_path) - 1):
+            src = self._nodes[node_path[i]]
+            tgt = self._nodes[node_path[i + 1]]
+            keys = self.get_edge_hashes_between_nodes(src, tgt)
+            key0 = keys[0] if not isinstance(keys[0], list) else keys[0][0]
+            edge = self._edges[key0]
+            if i == 0:
+                if edge.src_dir == 1:
+                    annotations += self.get_gene_mer_genes(src)
+                else:
+                    annotations += self.get_reverse_gene_mer_genes(src)
+            fw = self.get_gene_mer_genes(tgt)
+            bw = self.get_reverse_gene_mer_genes(tgt)
+            if fw[:-1] == annotations[-(k - 1):]:
+                annotations.append(fw[-1])
+            elif bw[:-1] == annotations[-(k - 1):]:
+                annotations.append(bw[-1])
+            else:
+                errored = True
+                break
+        if not errored:
+            return annotations
+        # fallback: extend leftwards instead (reference's alternative pass)
+        annotations = []
+        for i in range(len(node_path) - 1):
+            src = self._nodes[node_path[i]]
+            tgt = self._nodes[node_path[i + 1]]
+            keys = self.get_edge_hashes_between_nodes(src, tgt)
+            key0 = keys[0] if not isinstance(keys[0], list) else keys[0][0]
+            edge = self._edges[key0]
+            if i == 0:
+                annotations += (
+                    self.get_gene_mer_genes(src)
+                    if edge.src_dir == 1
+                    else self.get_reverse_gene_mer_genes(src)
+                )
+            fw = self.get_gene_mer_genes(tgt)
+            bw = self.get_reverse_gene_mer_genes(tgt)
+            if fw[1:] == annotations[: k - 1]:
+                annotations.insert(0, fw[0])
+            elif bw[1:] == annotations[: k - 1]:
+                annotations.insert(0, bw[0])
+            else:
+                raise ValueError("Gene sequences do not match in alternative path.")
+        return annotations
+
+    def get_annotation_for_read(self, node_list, node_directions, read_id):
+        """Rebuild the stranded gene list of a read from a node path
+        (construct_graph.py:1331-1373)."""
+        assert len(node_list) == len(node_directions), (
+            f"The number of nodes and node directions for read {read_id} differ"
+        )
+        if not node_directions:
+            node_directions = self._readNodeDirections[read_id]
+        if len(node_list) == 1:
+            d = node_directions[0]
+            node = self._nodes[node_list[0]]
+            if d == 1:
+                return self.get_gene_mer_genes(node)
+            if d == -1:
+                return self.get_reverse_gene_mer_genes(node)
+            raise ValueError(f"Gene-mer direction cannot be {d}")
+        annotations: list[str] = []
+        for i, h in enumerate(node_list):
+            node = self._nodes[h]
+            d = node_directions[i]
+            if i == 0:
+                genes = (
+                    self.get_gene_mer_genes(node)
+                    if d == 1
+                    else self.get_reverse_gene_mer_genes(node)
+                )
+                annotations += genes[:-1]
+            if d:
+                genes = (
+                    self.get_gene_mer_genes(node)
+                    if d == 1
+                    else self.get_reverse_gene_mer_genes(node)
+                )
+                annotations.append(genes[-1])
+        assert None not in annotations
+        return annotations
+
+    # ------------------------------------------------------------ junk reads
+
+    def remove_junk_reads(self, error_rate):
+        """Drop reads with more than (1 - error_rate) of their nodes filtered
+        (construct_graph.py:1398-1420)."""
+        new_reads, new_positions = {}, {}
+        rejected, rejected_positions = {}, {}
+        for rid, nodes in self._readNodes.items():
+            allowed = round(len(nodes) * (1 - error_rate))
+            n_filtered = sum(1 for n in nodes if n is None)
+            if n_filtered <= allowed:
+                new_reads[rid] = self._reads[rid]
+                new_positions[rid] = self._genePositions[rid]
+            else:
+                rejected[rid] = self._reads[rid]
+                rejected_positions[rid] = self._genePositions[rid]
+        return new_reads, new_positions, rejected, rejected_positions
+
+    def get_valid_reads_only(self):
+        return {
+            rid: genes
+            for rid, genes in self._reads.items()
+            if rid not in self._readsToCorrect
+        }
+
+    # ----------------------------------------------------------- path search
+
+    def new_find_paths_between_nodes(self, start_hash, end_hash, distance, direction):
+        """Bounded DFS for all simple paths from (start, direction) to
+        end_hash within `distance` nodes (construct_graph.py:2292-2342).
+        Iterative implementation."""
+        results = []
+        # stack entries: (node_hash, direction, path, seen)
+        stack = [(start_hash, direction, [(start_hash, direction)], {start_hash})]
+        while stack:
+            h, d, path, seen = stack.pop()
+            if end_hash is not None:
+                if h == end_hash and len(path) <= distance:
+                    results.append(path)
+                    continue
+            else:
+                if len(path) - 1 == distance:
+                    results.append(path)
+                    continue
+            if len(path) - 1 > distance:
+                continue
+            node = self._nodes.get(h)
+            if node is None:
+                continue
+            edge_keys = node.fwd_edges if d == 1 else node.bwd_edges if d == -1 else []
+            for key in edge_keys:
+                edge = self._edges[key]
+                nxt = edge.tgt
+                if nxt in seen:
+                    continue
+                stack.append(
+                    (nxt, edge.tgt_dir, path + [(nxt, edge.tgt_dir)], seen | {nxt})
+                )
+        return results
+
+    # -------------------------------------------------------- tip trimming
+
+    def remove_short_linear_paths(self, min_length, sample_genesOfInterest=()):
+        """Dead-end/tip trimming (construct_graph.py:679-720)."""
+        paths_to_remove: dict = {}
+        mean_cov = self.get_mean_node_coverage() if self._nodes else 0.0
+        for node in self.all_nodes():
+            if self.get_degree(node) == 1:
+                path = self.get_linear_path_for_node(node)
+                if 0 < len(path) < min_length:
+                    if all(
+                        self._nodes[h].coverage > mean_cov * 1.5 for h in path
+                    ):
+                        continue  # tandem-repeat guard
+                    paths_to_remove.setdefault(node.component, []).append(path)
+        amr_nodes = self.get_AMR_nodes(sample_genesOfInterest)
+        removed = set()
+        for component, paths in paths_to_remove.items():
+            if component is not None:
+                comp_nodes = {n.hash for n in self.get_nodes_in_component(component)}
+            else:
+                comp_nodes = set()
+            for path in paths:
+                if component is not None and len(
+                    comp_nodes.intersection(path)
+                ) == len(comp_nodes):
+                    continue  # never delete a whole component
+                for h in path:
+                    if h in amr_nodes or h in removed:
+                        continue
+                    self.remove_node(self._nodes[h])
+                    removed.add(h)
+        return list(removed)
+
+    # --------------------------------------------------------------- output
+
+    def assign_Id_to_nodes(self):
+        for i, node in enumerate(self._nodes.values()):
+            node.node_id = i
+
+    def generate_gml(self, output_file, geneMerSize, min_node_coverage, min_edge_coverage):
+        """GML export (construct_graph.py:873-909)."""
+        import os
+
+        parts = ["graph\t[", "multigraph 1"]
+        self.assign_Id_to_nodes()
+        for node in self.all_nodes():
+            entry = "\tnode\t[\n"
+            entry += f"\t\tid\t{node.node_id}\n"
+            entry += f'\t\tlabel\t"{self.get_gene_mer_label(node)}"\n'
+            entry += f"\t\tcoverage\t{node.coverage}\n"
+            if node.component:
+                entry += f"\t\tcomponent\t{node.component}\n"
+            entry += '\t\treads\t"' + ",".join(node.reads) + '"\n'
+            if node.color:
+                entry += f'\t\tcolor\t"{node.color}"\n'
+            entry += "\t]"
+            parts.append(entry)
+            for edge in self.get_forward_edges(node) + self.get_backward_edges(node):
+                if edge.coverage == 0:
+                    continue
+                tgt = self._nodes[edge.tgt]
+                e = "\tedge\t[\n"
+                e += f"\t\tsource\t{node.node_id}\n"
+                e += f"\t\ttarget\t{tgt.node_id}\n"
+                e += f"\t\tsource_direction\t{edge.src_dir}\n"
+                e += f"\t\ttarget_direction\t{edge.tgt_dir}\n"
+                e += f"\t\tweight\t{edge.coverage}\n"
+                e += "\t]"
+                parts.append(e)
+        parts.append("]")
+        out = ".".join(
+            [output_file, str(geneMerSize), str(min_node_coverage), str(min_edge_coverage)]
+        )
+        d = os.path.dirname(out)
+        if d and not os.path.exists(d):
+            os.makedirs(d, exist_ok=True)
+        with open(out + ".gml", "w") as fh:
+            fh.write("\n".join(parts))
+        return parts
+
+    def color_node(self, node: Node, amr_genes):
+        names = [self.vocab.name_of(abs(int(t))) for t in node.tokens]
+        if not any(g in amr_genes for g in names):
+            node.color = 0
+        elif self.get_degree(node) <= 2:
+            node.color = 1
+        else:
+            node.color = 2
+
+    # ------------------------------------------------------- AMR-read trim
+
+    def remove_non_AMR_associated_nodes(self, genesOfInterest):
+        """Keep only nodes sharing reads with AMR-containing nodes
+        (construct_graph.py:2941-2959)."""
+        reads_of_interest = set()
+        for gene in genesOfInterest:
+            for node in self.get_nodes_containing(gene):
+                reads_of_interest.update(node.reads)
+        doomed = [
+            n
+            for n in self._nodes.values()
+            if not reads_of_interest.intersection(n._read_set)
+        ]
+        for node in doomed:
+            self.remove_node(node)
+
+    # ----------------------------------------------- delegated algorithms
+
+    def correct_reads(self, fastq_data):
+        from amira_tpu.correct import correct_reads
+
+        return correct_reads(self, fastq_data)
+
+    def correct_low_coverage_paths(
+        self,
+        fastq_data,
+        genesOfInterest,
+        cores,
+        min_path_coverage,
+        components_to_skip,
+        use_minimizers=False,
+    ):
+        from amira_tpu.bubbles import correct_low_coverage_paths
+
+        return correct_low_coverage_paths(
+            self,
+            fastq_data,
+            genesOfInterest,
+            cores,
+            min_path_coverage,
+            components_to_skip,
+            use_minimizers,
+        )
+
+    def assign_reads_to_genes(
+        self, listOfGenes, cores=1, allele_counts=None, mean_node_coverage=None, path_threshold=5
+    ):
+        from amira_tpu.cluster import assign_reads_to_genes
+
+        return assign_reads_to_genes(
+            self, listOfGenes, cores, allele_counts or {}, mean_node_coverage, path_threshold
+        )
+
+    def get_unitigs_in_graph(self, outfile):
+        unitigs = set()
+        for node in self.all_nodes():
+            if len(self.get_all_neighbors(node)) > 2:
+                continue
+            path = self.get_linear_path_for_node(node, True)
+            path = sorted([path, list(reversed(path))])[0]
+            try:
+                path_genes = self.get_genes_in_unitig(path)
+            except (ValueError, AssertionError):
+                continue
+            canonical = sorted([path_genes, self.reverse_list_of_genes(path_genes)])[0]
+            unitigs.add((tuple(canonical), len(self.collect_reads_in_path(path))))
+        with open(outfile, "w") as f:
+            f.write("\n".join(f"{','.join(u[0])}\t{u[1]}" for u in unitigs))
+
+
