@@ -204,47 +204,94 @@ class GeneMerGraph:
             return
         kept_ids = [r for r, m in zip(read_ids, keep) if m]
         kept_tok = [t for t, m in zip(tok_list, keep) if m]
-        # bucket the padded shape so jit compiles once per (k, bucket) rather
-        # than once per read batch
-        lmax = max(len(t) for t in kept_tok)
-        tokens, klengths = pack_reads(kept_tok, pad_to=_bucket(lmax))
-        n_pad = _bucket(len(kept_tok)) - len(kept_tok)
-        if n_pad:
-            tokens = np.vstack(
-                [tokens, np.zeros((n_pad, tokens.shape[1]), dtype=np.int32)]
-            )
-            klengths = np.concatenate(
-                [klengths, np.zeros(n_pad, dtype=np.int32)]
-            )
-        nh, nd, valid, e_fwd, e_rev, e_valid = _graph_kernel(tokens, klengths, k)
-        nh = np.asarray(nh)
-        nd = np.asarray(nd)
-        valid = np.asarray(valid)
-        e_fwd = np.asarray(e_fwd)
-        e_rev = np.asarray(e_rev)
-        e_valid = np.asarray(e_valid)
+        kept_len = np.asarray([len(t) for t in kept_tok], dtype=np.int32)
 
-        windows = _sliding_windows(tokens, k)  # (R, W, k)
+        # ---- length-bucketed kernel launches: reads are grouped by
+        # next-power-of-two gene count so the device never pays for padding
+        # beyond 2x, and jit compiles once per (k, L_bucket, R_bucket).
+        order_by_len = np.argsort(kept_len, kind="stable")
+        occ_hash_parts, occ_dir_parts, occ_read_parts, occ_w_parts = [], [], [], []
+        occ_tok_parts = []  # observed window tokens (N_occ, k) for canonical extraction
+        e_parts = []  # (keys, src_h, tgt_h, sd, td) per bucket
+        read_win_hash: dict[int, np.ndarray] = {}
+        read_win_dir: dict[int, np.ndarray] = {}
+        i = 0
+        while i < len(order_by_len):
+            lb = _bucket(int(kept_len[order_by_len[i]]))
+            j = i
+            while j < len(order_by_len) and _bucket(int(kept_len[order_by_len[j]])) == lb:
+                j += 1
+            sel = order_by_len[i:j]
+            i = j
+            btoks = [kept_tok[s] for s in sel]
+            tokens, klengths = pack_reads(btoks, pad_to=lb)
+            n_pad = _bucket(len(btoks)) - len(btoks)
+            if n_pad:
+                tokens = np.vstack(
+                    [tokens, np.zeros((n_pad, lb), dtype=np.int32)]
+                )
+                klengths = np.concatenate([klengths, np.zeros(n_pad, np.int32)])
+            nh, nd, valid, e_fwd, e_rev, e_valid = _graph_kernel(tokens, klengths, k)
+            nh = np.asarray(nh)
+            nd = np.asarray(nd)
+            valid = np.asarray(valid)
+            windows = _sliding_windows(tokens, k)  # (R, W, k) view
+            r_idx, w_idx = np.nonzero(valid)
+            occ_hash_parts.append(nh[r_idx, w_idx])
+            occ_dir_parts.append(nd[r_idx, w_idx].astype(np.int64))
+            occ_read_parts.append(sel[r_idx])
+            occ_w_parts.append(w_idx.astype(np.int32))
+            occ_tok_parts.append(windows[r_idx, w_idx])
+            for row, s in enumerate(sel):
+                w = int(kept_len[s]) - (k - 1)
+                read_win_hash[s] = nh[row, :w]
+                read_win_dir[s] = nd[row, :w]
+            er_idx, ew_idx = np.nonzero(np.asarray(e_valid))
+            if len(er_idx):
+                e_fwd = np.asarray(e_fwd)
+                e_rev = np.asarray(e_rev)
+                src_h = nh[er_idx, ew_idx]
+                tgt_h = nh[er_idx, ew_idx + 1]
+                src_d = nd[er_idx, ew_idx].astype(np.int64)
+                tgt_d = nd[er_idx, ew_idx + 1].astype(np.int64)
+                e_parts.append(
+                    (
+                        e_fwd[er_idx, ew_idx],
+                        e_rev[er_idx, ew_idx],
+                        src_h,
+                        tgt_h,
+                        src_d,
+                        tgt_d,
+                    )
+                )
 
-        # ---- flatten node occurrences (row-major = read order, window order)
-        r_idx, w_idx = np.nonzero(valid)
-        occ_hash = nh[r_idx, w_idx]
-        occ_dir = nd[r_idx, w_idx].astype(np.int64)
+        occ_hash = np.concatenate(occ_hash_parts)
+        occ_dir = np.concatenate(occ_dir_parts)
+        occ_read = np.concatenate(occ_read_parts)
+        occ_tokens = np.concatenate(occ_tok_parts)
+        # canonical order: by read index then window index, so node/read
+        # insertion order matches the reference's read-major iteration
+        occ_w = np.concatenate(occ_w_parts)
+        occ_sort = np.lexsort((occ_w, occ_read))
+        occ_hash = occ_hash[occ_sort]
+        occ_dir = occ_dir[occ_sort]
+        occ_read = occ_read[occ_sort]
+        occ_tokens = occ_tokens[occ_sort]
 
         # per-read node/direction/position lists
-        n_windows = valid.sum(axis=1)
         has_pos = self._genePositions is not None
-        for ri, rid in enumerate(kept_ids):
-            w = int(n_windows[ri])
-            self._readNodes[rid] = [int(h) for h in nh[ri, :w]]
-            self._readNodeDirections[rid] = [int(d) for d in nd[ri, :w]]
+        for s, rid in enumerate(kept_ids):
+            wh = read_win_hash[s]
+            wd = read_win_dir[s]
+            self._readNodes[rid] = [int(h) for h in wh]
+            self._readNodeDirections[rid] = [int(d) for d in wd]
             if has_pos:
                 pos = self._genePositions[rid]
                 self._readNodePositions[rid] = [
-                    (pos[j][0], pos[j + k - 1][1]) for j in range(w)
+                    (pos[j][0], pos[j + k - 1][1]) for j in range(len(wh))
                 ]
             else:
-                self._readNodePositions[rid] = [None] * w
+                self._readNodePositions[rid] = [None] * len(wh)
 
         # ---- node table: group occurrences by hash
         order = np.argsort(occ_hash, kind="stable")
@@ -253,7 +300,7 @@ class GeneMerGraph:
         uniq_mask[1:] = sorted_hash[1:] != sorted_hash[:-1]
         group_starts = np.nonzero(uniq_mask)[0]
         group_ends = np.append(group_starts[1:], len(sorted_hash))
-        # first occurrence (in read order) of each unique hash
+        # first occurrence (in read-major order) of each unique hash
         first_occ = np.minimum.reduceat(order, group_starts)
         # preserve reference insertion order: nodes appear in first-occurrence order
         node_order = np.argsort(first_occ, kind="stable")
@@ -261,10 +308,9 @@ class GeneMerGraph:
             s, e = group_starts[gi], group_ends[gi]
             h = int(sorted_hash[s])
             fo = int(first_occ[gi])
-            ri, wi = int(r_idx[fo]), int(w_idx[fo])
-            wtok = windows[ri, wi].astype(np.int32)
+            wtok = occ_tokens[fo].astype(np.int32)
             # direction of the first occurrence orients canonical extraction
-            canon = wtok if int(nd[ri, wi]) == 1 else reverse_tokens(wtok)
+            canon = wtok if int(occ_dir[fo]) == 1 else reverse_tokens(wtok)
             node = Node(h, np.ascontiguousarray(canon))
             node.coverage = int(e - s)
             self._nodes[h] = node
@@ -272,37 +318,31 @@ class GeneMerGraph:
         # reads per node, in first-occurrence order within each node
         for oi in range(len(occ_hash)):
             node = self._nodes[int(occ_hash[oi])]
-            rid = kept_ids[int(r_idx[oi])]
+            rid = kept_ids[int(occ_read[oi])]
             if rid not in node._read_set:
                 node._read_set.add(rid)
                 node.reads.append(rid)
 
         # ---- edge table
-        er_idx, ew_idx = np.nonzero(e_valid)
-        if len(er_idx):
-            src_h = nh[er_idx, ew_idx]
-            tgt_h = nh[er_idx, ew_idx + 1]
-            src_d = nd[er_idx, ew_idx].astype(np.int64)
-            tgt_d = nd[er_idx, ew_idx + 1].astype(np.int64)
-            fwd_keys = e_fwd[er_idx, ew_idx]
-            rev_keys = e_rev[er_idx, ew_idx]
+        if e_parts:
+            fwd_keys = np.concatenate([p[0] for p in e_parts])
+            rev_keys = np.concatenate([p[1] for p in e_parts])
+            src_h = np.concatenate([p[2] for p in e_parts])
+            tgt_h = np.concatenate([p[3] for p in e_parts])
+            src_d = np.concatenate([p[4] for p in e_parts])
+            tgt_d = np.concatenate([p[5] for p in e_parts])
             # fwd edge: (src, sd) -> (tgt, td); companion: (tgt, -td) -> (src, -sd)
-            all_keys = np.concatenate([fwd_keys, rev_keys])
-            all_src = np.concatenate([src_h, tgt_h])
-            all_tgt = np.concatenate([tgt_h, src_h])
-            all_sd = np.concatenate([src_d, -tgt_d])
-            all_td = np.concatenate([tgt_d, -src_d])
-            # interleave so insertion order matches the reference (fwd then rev
-            # per occurrence): build order index
             n = len(fwd_keys)
-            occ_order = np.empty(2 * n, dtype=np.int64)
-            occ_order[0::2] = np.arange(n)  # position of fwd edge i
-            occ_order[1::2] = n + np.arange(n)
-            all_keys = all_keys[occ_order]
-            all_src = all_src[occ_order]
-            all_tgt = all_tgt[occ_order]
-            all_sd = all_sd[occ_order]
-            all_td = all_td[occ_order]
+            all_keys = np.empty(2 * n, dtype=fwd_keys.dtype)
+            all_src = np.empty(2 * n, dtype=src_h.dtype)
+            all_tgt = np.empty(2 * n, dtype=tgt_h.dtype)
+            all_sd = np.empty(2 * n, dtype=np.int64)
+            all_td = np.empty(2 * n, dtype=np.int64)
+            all_keys[0::2], all_keys[1::2] = fwd_keys, rev_keys
+            all_src[0::2], all_src[1::2] = src_h, tgt_h
+            all_tgt[0::2], all_tgt[1::2] = tgt_h, src_h
+            all_sd[0::2], all_sd[1::2] = src_d, -tgt_d
+            all_td[0::2], all_td[1::2] = tgt_d, -src_d
 
             eorder = np.argsort(all_keys, kind="stable")
             skeys = all_keys[eorder]
