@@ -1,0 +1,486 @@
+"""Bubble popping: correct lower-coverage alternative paths onto their
+higher-coverage twins.
+
+Reference semantics: amira/construct_graph.py:1482-2265. Junction nodes
+(out-degree > 1 in either orientation) seed a bounded path enumeration; path
+pairs sharing terminals whose read-sequence minimizer containment exceeds
+0.80 define correction operations; affected reads have the low-coverage gene
+segment spliced out via gene-symbol alignments. AMR genes are never deleted
+by a correction (construct_graph.py:1877-1881).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from amira_tpu.correct import needleman_wunsch, replace_invalid_gene_positions
+from amira_tpu.sketch import MinHash
+from amira_tpu.stree import SequenceIndex
+
+
+# --------------------------------------------------------------- primitives
+
+
+def calculate_path_coverage(graph, path):
+    """Mean coverage of the interior nodes of a (hash, dir) path."""
+    return float(
+        np.mean([graph.get_node_by_hash(n[0]).coverage for n in path[1:-1]])
+    )
+
+
+def identify_potential_bubble_starts(graph):
+    out: dict = {}
+    for node in graph.all_nodes():
+        if len(node.fwd_edges) > 1:
+            out.setdefault(node.component, []).append((node.hash, 1))
+        if len(node.bwd_edges) > 1:
+            out.setdefault(node.component, []).append((node.hash, -1))
+    return out
+
+
+def get_all_paths_between_junctions_in_component(
+    graph, bubble_starts, max_distance
+):
+    """All direction-consistent simple paths (>1 alternative) between ordered
+    junction pairs, canonicalized (construct_graph.py:2066-2098)."""
+    unique_paths = set()
+    for start_hash, start_dir in bubble_starts:
+        for stop_hash, stop_dir in bubble_starts:
+            if start_hash == stop_hash:
+                continue
+            paths = graph.new_find_paths_between_nodes(
+                start_hash, stop_hash, max_distance, start_dir
+            )
+            valid = []
+            for p in paths:
+                if p[0] != (start_hash, start_dir) or len(p) < 2:
+                    continue
+                end_dir = graph.get_direction_between_two_nodes(p[-2][0], p[-1][0])
+                if (p[-1][0], end_dir) == (stop_hash, stop_dir):
+                    valid.append(p)
+            if len(valid) > 1:
+                for p in valid:
+                    rc = list(reversed([(t[0], t[1] * -1) for t in p]))
+                    unique_paths.add(tuple(sorted([p, rc])[0]))
+    return list(unique_paths)
+
+
+def filter_paths_between_bubble_starts(graph, unique_paths):
+    """Drop paths that contain shorter paths; keep paths of > 2 nodes with
+    their interior coverage (construct_graph.py:2125-2146)."""
+    unique_paths = sorted(list(unique_paths), key=len)
+    index = SequenceIndex({i: list(p) for i, p in enumerate(unique_paths)})
+    filtered = []
+    targets = set()
+    for i, p in enumerate(unique_paths):
+        if i in targets:
+            continue
+        p_list = list(p)
+        res = index.find_ids(p_list)
+        rv_res = index.find_ids(list(reversed(p_list)))
+        for j in res | rv_res:
+            if i != j:
+                targets.add(j)
+        if len(p) > 2:
+            filtered.append((p, calculate_path_coverage(graph, p)))
+    return filtered
+
+
+def separate_paths_by_terminal_nodes(sorted_filtered_paths):
+    binned: dict = {}
+    for p in sorted_filtered_paths:
+        terminals = tuple(sorted([p[0][0][0], p[0][-1][0]]))
+        binned.setdefault(terminals, []).append(p)
+    return {
+        key: value
+        for key, value in sorted(
+            binned.items(),
+            key=lambda x: max(len(path[0]) for path in x[1]),
+            reverse=True,
+        )
+    }
+
+
+# -------------------------------------------------------------- minimizers
+
+
+def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
+    """Per-path list of per-node read-subsequence sketches
+    (construct_graph.py:2148-2194)."""
+    node_minhashes: dict = {}
+    path_minimizers: dict = {}
+    for path_tuple, _cov in sorted_filtered_paths:
+        nodes = [p[0] for p in path_tuple]
+        for h in nodes:
+            node_minhashes.setdefault(h, None)
+        path_minimizers[tuple(nodes)] = []
+    for h in node_minhashes:
+        node = graph.get_node_by_hash(h)
+        mh = MinHash(ksize=11, scaled=10)
+        for read in node.reads:
+            read_nodes = graph.get_readNodes()[read]
+            positions = graph.get_readNodePositions()[read]
+            seq = fastq_data[read]["sequence"]
+            for i, n in enumerate(read_nodes):
+                if n == h and positions[i] is not None:
+                    mh.add_sequence(seq[positions[i][0] : positions[i][1] + 1])
+        node_minhashes[h] = mh
+    for nodes in path_minimizers:
+        path_minimizers[nodes] = [node_minhashes[h] for h in nodes]
+    return path_minimizers
+
+
+def get_minimizers_from_minhashes(path_nodes, path_minimizers):
+    s = set()
+    for mh in path_minimizers[tuple(path_nodes)]:
+        s.update(mh.hashes)
+    return s
+
+
+# ----------------------------------------------------- correction operations
+
+
+def define_correction_operations(
+    graph,
+    paths,
+    path_coverages,
+    correction_operations,
+    path_minimizers,
+    seen_nodes,
+    threshold,
+):
+    corrected_paths = set()
+    for p in paths:
+        path_coverages.append(p[1])
+    for i in range(len(paths)):
+        higher_path, higher_cov = paths[i]
+        higher_nodes = [n[0] for n in higher_path]
+        higher_set = set(higher_nodes)
+        higher_tuple = tuple(higher_nodes)
+        if higher_tuple in corrected_paths:
+            continue
+        if any(n in seen_nodes for n in higher_nodes):
+            continue
+        high_minimizers = (
+            get_minimizers_from_minhashes(higher_nodes, path_minimizers)
+            if path_minimizers is not None
+            else None
+        )
+        for lower_path, lower_cov in paths[i + 1 :]:
+            lower_nodes = [n[0] for n in lower_path]
+            lower_tuple = tuple(lower_nodes)
+            if lower_tuple in corrected_paths:
+                continue
+            if any(n in seen_nodes for n in lower_nodes):
+                continue
+            if path_minimizers is not None:
+                low_minimizers = get_minimizers_from_minhashes(
+                    lower_nodes, path_minimizers
+                )
+                if not low_minimizers or not high_minimizers:
+                    continue
+                inter = len(high_minimizers & low_minimizers)
+                containment = max(
+                    inter / len(low_minimizers), inter / len(high_minimizers)
+                )
+            else:
+                containment = 1.0
+            if containment > threshold:
+                operation = (lower_tuple, higher_tuple, lower_cov, higher_cov)
+                correction_operations.add(operation)
+                corrected_paths.add(lower_tuple)
+                for n in lower_nodes:
+                    if n not in higher_set:
+                        seen_nodes[n] = operation
+    return path_coverages
+
+
+def get_path_reads_to_correct(graph, reads_to_correct, seen_nodes):
+    for n in seen_nodes:
+        operation = seen_nodes[n]
+        for read in graph.get_node_by_hash(n).reads:
+            if read not in reads_to_correct:
+                reads_to_correct[read] = operation
+
+
+# ---------------------------------------------------------- gene alignment
+
+
+def reverse_gene(gene):
+    if gene[0] == "+":
+        return "-" + gene[1:]
+    if gene[0] == "-":
+        return "+" + gene[1:]
+    if gene[0] == "*":
+        return "*"
+
+
+def reverse_gene_alignment(alignment):
+    return [
+        (reverse_gene(col[0]), reverse_gene(col[1]))
+        for col in reversed(alignment)
+    ]
+
+
+def count_snps_in_alignment(aln):
+    return len(
+        [c for c in aln if c[0] != c[1] and c[0] != "*" and c[1] != "*"]
+    )
+
+
+def count_indels_in_alignment(aln):
+    return len(
+        [c for c in aln if c[0] != c[1] and (c[0] == "*" or c[1] == "*")]
+    )
+
+
+def compare_paths(lower_genes, fw_higher_genes):
+    fw = needleman_wunsch(fw_higher_genes, lower_genes)
+    rv = reverse_gene_alignment(fw)
+    return fw, rv, count_snps_in_alignment(fw), count_indels_in_alignment(fw)
+
+
+def get_gene_mer_strings(genes_on_read, k):
+    return [
+        tuple(genes_on_read[i : i + k])
+        for i in range(len(genes_on_read) - (k - 1))
+    ]
+
+
+def reorient_alignment(
+    gene_mers_on_read, fw_counter, bw_counter, fw_alignment, rv_alignment
+):
+    read_counter = Counter(gene_mers_on_read)
+    fw_count = len(read_counter & fw_counter)
+    rv_count = len(read_counter & bw_counter)
+    if fw_count > rv_count:
+        return fw_alignment
+    if rv_count > fw_count:
+        return rv_alignment
+    return None
+
+
+def get_path_to_alignment_mapping(alignment):
+    higher_mapping, lower_mapping = {}, {}
+    hi = lo = 0
+    for i, col in enumerate(alignment):
+        if col[1] != "*":
+            lower_mapping[lo] = i
+            lo += 1
+        if col[0] != "*":
+            higher_mapping[hi] = i
+            hi += 1
+    return higher_mapping, lower_mapping
+
+
+def longest_common_sublist(a, b):
+    """Longest contiguous common sublist (construct_graph.py:1992-2014)."""
+    len_a, len_b = len(a), len(b)
+    dp = np.zeros((len_a + 1, len_b + 1), dtype=np.int32)
+    a_arr = np.array(a, dtype=object)
+    b_arr = np.array(b, dtype=object)
+    eq = a_arr[:, None] == b_arr[None, :]
+    for i in range(1, len_a + 1):
+        dp[i, 1:] = np.where(eq[i - 1], dp[i - 1, :-1] + 1, 0)
+    max_len = int(dp.max())
+    if max_len == 0:
+        return [], (0, -1), (0, -1)
+    flat = int(dp.argmax())
+    end_a, end_b = divmod(flat, len_b + 1)
+    start_a, start_b = end_a - max_len, end_b - max_len
+    return a[start_a:end_a], (start_a, end_a - 1), (start_b, end_b - 1)
+
+
+def modify_alignment_subset(alignment_subset, genes_on_read_segment):
+    true_path = [c[0] for c in alignment_subset if c[0] != "*"]
+    if true_path == genes_on_read_segment:
+        return alignment_subset
+    return needleman_wunsch(true_path, genes_on_read_segment)
+
+
+def correct_genes_on_read(
+    graph, genes_on_read, first_idx, last_idx, alignment_subset, read_id
+):
+    prefix = genes_on_read[:first_idx]
+    suffix = genes_on_read[last_idx + 1 :]
+    core = [c[0] for c in alignment_subset if c[0] != "*"]
+    graph.get_reads()[read_id] = prefix + core + suffix
+    return graph.get_reads()[read_id]
+
+
+def correct_gene_positions_on_read(
+    graph, first_idx, last_idx, alignment_subset, read_id, fastq_data
+):
+    gene_positions = graph.get_gene_positions()[read_id][:]
+    prefix = gene_positions[:first_idx]
+    suffix = gene_positions[last_idx + 1 :]
+    core = gene_positions[first_idx : last_idx + 1]
+    # remap the core through the alignment
+    new_core = []
+    ci = 0
+    for col in alignment_subset:
+        if col[0] != "*":
+            if col[1] != col[0]:
+                new_core.append((None, None))
+            else:
+                new_core.append(core[ci])
+                ci += 1
+        else:
+            ci += 1
+    new_positions = prefix + new_core + suffix
+    new_positions = replace_invalid_gene_positions(new_positions, fastq_data, read_id)
+    graph.get_gene_positions()[read_id] = new_positions
+    assert len(graph.get_reads()[read_id]) == len(new_positions), (
+        f"{len(graph.get_reads()[read_id])}/{len(new_positions)}"
+    )
+    return new_positions
+
+
+# --------------------------------------------------------------- the driver
+
+
+def correct_bubble_paths(
+    graph,
+    bubbles,
+    fastq_data,
+    path_minimizers,
+    genesOfInterest,
+    min_path_coverage,
+    threshold=0.80,
+):
+    k = graph.get_kmerSize()
+    seen_nodes: dict = {}
+    correction_operations: set = set()
+    reads_to_correct: dict = {}
+    path_coverages: list = []
+    for pair in bubbles:
+        if len(bubbles[pair]) > 1:
+            paths = sorted(list(bubbles[pair]), key=lambda x: x[1], reverse=True)
+            path_coverages = define_correction_operations(
+                graph,
+                paths,
+                path_coverages,
+                correction_operations,
+                path_minimizers,
+                seen_nodes,
+                threshold,
+            )
+    get_path_reads_to_correct(graph, reads_to_correct, seen_nodes)
+
+    fw_alignments, bw_alignments = {}, {}
+    fw_counters, bw_counters = {}, {}
+    for operation in correction_operations:
+        try:
+            fw_higher_genes = graph.get_genes_in_unitig(list(operation[1]))
+            lower_genes = graph.get_genes_in_unitig(list(operation[0]))
+        except (ValueError, AssertionError, KeyError):
+            continue
+        fw_alignment, rv_alignment, _snps, _indels = compare_paths(
+            lower_genes, fw_higher_genes
+        )
+        # never delete an AMR gene via a correction
+        if any(
+            c[1][1:] in genesOfInterest and c[0][1:] not in genesOfInterest
+            for c in fw_alignment
+        ):
+            continue
+        fw_alignments[operation] = fw_alignment
+        bw_alignments[operation] = rv_alignment
+        gene_mers = get_gene_mer_strings(lower_genes, k)
+        rev_gene_mers = [
+            tuple(graph.reverse_list_of_genes(list(gm))) for gm in gene_mers
+        ]
+        fw_counters[operation] = Counter(gene_mers)
+        bw_counters[operation] = Counter(rev_gene_mers)
+
+    for read_id in reads_to_correct:
+        op = reads_to_correct[read_id]
+        if op not in fw_alignments:
+            continue
+        fw_alignment = fw_alignments[op]
+        rv_alignment = bw_alignments[op]
+        genes_on_read = graph.get_reads()[read_id][:]
+        gene_mers_on_read = get_gene_mer_strings(genes_on_read, k)
+        read_alignment = reorient_alignment(
+            gene_mers_on_read,
+            fw_counters[op],
+            bw_counters[op],
+            fw_alignment,
+            rv_alignment,
+        )
+        if read_alignment is None:
+            continue
+        _higher_mapping, lower_mapping = get_path_to_alignment_mapping(
+            read_alignment
+        )
+        genes_in_lower = [a[1] for a in read_alignment if a[1] != "*"]
+        common, (start_path, end_path), (first_idx, last_idx) = (
+            longest_common_sublist(genes_in_lower, genes_on_read)
+        )
+        if not common:
+            continue
+        alignment_subset = read_alignment[
+            lower_mapping[start_path] : lower_mapping[end_path] + 1
+        ]
+        alignment_subset = modify_alignment_subset(
+            alignment_subset, genes_on_read[first_idx : last_idx + 1]
+        )
+        if len(alignment_subset) != 0:
+            correct_genes_on_read(
+                graph, genes_on_read, first_idx, last_idx, alignment_subset, read_id
+            )
+            correct_gene_positions_on_read(
+                graph, first_idx, last_idx, alignment_subset, read_id, fastq_data
+            )
+    return path_coverages
+
+
+def correct_low_coverage_paths(
+    graph,
+    fastq_data,
+    genesOfInterest,
+    cores,
+    min_path_coverage,
+    components_to_skip,
+    use_minimizers=False,
+):
+    """One bubble-popping sweep over every component
+    (construct_graph.py:2196-2250)."""
+    assert graph.get_gene_positions()
+    potential_bubble_starts = identify_potential_bubble_starts(graph)
+    max_distance = graph.get_kmerSize() * 4
+    path_coverages: list = []
+    for component in graph.components():
+        if component in components_to_skip:
+            continue
+        if component not in potential_bubble_starts:
+            continue
+        starts = potential_bubble_starts[component]
+        unique_paths = get_all_paths_between_junctions_in_component(
+            graph, starts, max_distance
+        )
+        filtered = filter_paths_between_bubble_starts(graph, unique_paths)
+        sorted_filtered = sorted(filtered, key=lambda x: len(x[0]))
+        if use_minimizers:
+            path_minimizers = get_minhashes_for_paths(
+                graph, sorted_filtered, fastq_data
+            )
+        else:
+            path_minimizers = None
+        binned = separate_paths_by_terminal_nodes(sorted_filtered)
+        path_coverages += correct_bubble_paths(
+            graph,
+            binned,
+            fastq_data,
+            path_minimizers,
+            genesOfInterest,
+            min_path_coverage,
+        )
+    return (
+        graph.get_reads(),
+        graph.get_gene_positions(),
+        path_coverages,
+        min_path_coverage,
+    )

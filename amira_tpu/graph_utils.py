@@ -1,0 +1,205 @@
+"""Pipeline-level graph helpers: the iterative cleaning loop, gene-mer size
+selection, and the node-coverage trough estimator.
+
+Reference: amira/graph_utils.py. The reference's joblib shard-merge build
+(graph_utils.py:17-124) is replaced by the batched tensor build in
+amira_tpu/graph.py (single call, no merge step needed on one host; the
+multi-host collective merge lives in amira_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from amira_tpu.graph import GeneMerGraph
+
+
+def build_graph(read_dict, kmer_size, gene_positions=None, vocab=None):
+    return GeneMerGraph(read_dict, kmer_size, gene_positions, vocab=vocab)
+
+
+def iterative_bubble_popping(
+    new_annotatedReads,
+    new_gene_position_dict,
+    cleaning_iterations,
+    geneMer_size,
+    cores,
+    short_reads,
+    short_read_gene_positions,
+    fastq_content,
+    output_dir,
+    node_min_coverage,
+    sample_genesOfInterest,
+    min_path_coverage,
+    vocab=None,
+    quiet=True,
+):
+    """Iterate {rebuild, filter, correct, trim tips, pop bubbles} until the
+    node count stops changing (amira/graph_utils.py:127-181)."""
+    prev_nodes = 0
+    components_to_skip: set = set()
+    for this_iteration in range(cleaning_iterations):
+        if not quiet:
+            sys.stderr.write(
+                f"\namira-tpu: graph cleaning iteration {this_iteration + 1}\n"
+            )
+        graph = build_graph(
+            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab
+        )
+        graph.filter_graph(node_min_coverage, 1)
+        new_annotatedReads, new_gene_position_dict = graph.correct_reads(
+            fastq_content
+        )
+        graph = build_graph(
+            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab
+        )
+        if len(graph.get_nodes()) == prev_nodes:
+            break
+        prev_nodes = len(graph.get_nodes())
+        short_reads.update(graph.get_short_read_annotations())
+        short_read_gene_positions.update(graph.get_short_read_gene_positions())
+        graph.remove_short_linear_paths(geneMer_size)
+        new_annotatedReads, new_gene_position_dict = graph.correct_reads(
+            fastq_content
+        )
+        graph = build_graph(
+            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab
+        )
+        short_reads.update(graph.get_short_read_annotations())
+        short_read_gene_positions.update(graph.get_short_read_gene_positions())
+        (
+            new_annotatedReads,
+            new_gene_position_dict,
+            _path_coverages,
+            min_path_coverage,
+        ) = graph.correct_low_coverage_paths(
+            fastq_content,
+            sample_genesOfInterest,
+            cores,
+            min_path_coverage,
+            components_to_skip,
+            True,
+        )
+    return new_annotatedReads, new_gene_position_dict
+
+
+def estimate_min_path_coverage(node_coverages, filename=None):
+    """Trough between the error peak and the signal peak of the node-coverage
+    histogram (amira/graph_utils.py:184-255): bin width 5, log counts,
+    Savitzky-Golay smoothing, first two peaks, argmin between them.
+
+    The optional plot is written only when `filename` is given.
+    """
+    from scipy.signal import find_peaks, savgol_filter
+
+    max_coverage = max(node_coverages)
+    bins = np.arange(0, max_coverage + 5, 5)
+    hist, bin_edges = np.histogram(node_coverages, bins=bins)
+    x_values = 0.5 * (bin_edges[:-1] + bin_edges[1:])
+    log_counts = np.log(hist + 1)
+    window_length, poly_order = 31, 5
+    if len(log_counts) < window_length:
+        window_length = max(5, len(log_counts) // 2 * 2 - 1)
+    smoothed = savgol_filter(log_counts, window_length, poly_order)
+    peaks, _ = find_peaks(
+        [min(smoothed)] + list(smoothed), [min(smoothed)], prominence=0.1
+    )
+    peaks = peaks - 1
+    first_peak = int(np.where(x_values == x_values[peaks[0]])[0][0])
+    second_peak = int(np.where(x_values == x_values[peaks[1]])[0][0])
+    trough_index = (
+        int(np.argmin(smoothed[first_peak : second_peak + 1])) + first_peak
+    )
+    trough_value = float(x_values[trough_index])
+    if filename is not None:
+        _plot_coverage_histogram(x_values, log_counts, smoothed, trough_value, filename)
+    return trough_value
+
+
+def _plot_coverage_histogram(x_values, log_counts, smoothed, trough, filename):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(10, 6))
+    plt.bar(
+        x_values, log_counts, width=5, label="Counts",
+        color="white", edgecolor="black", align="center",
+    )
+    plt.plot(x_values, smoothed, color="red", label="Smoothed counts")
+    plt.axvline(x=trough, color="r", linestyle="--", label=f"Trough at x={trough:.2f}")
+    plt.title("Histogram of node coverages with smoothed curve")
+    plt.xlabel("Node coverage")
+    plt.ylabel("Log of absolute frequency")
+    plt.legend()
+    plt.savefig(filename)
+    plt.close()
+
+
+# keep the reference's entry-point name for familiarity
+def plot_node_coverages(node_coverages, filename):
+    return estimate_min_path_coverage(node_coverages, filename)
+
+
+def choose_kmer_size(
+    overall_mean_node_coverage,
+    new_annotatedReads,
+    cores,
+    new_gene_position_dict,
+    sample_genesOfInterest,
+    vocab=None,
+):
+    """Largest odd k in [3, 15] such that every component keeps >= 80% of its
+    AMR reads with >= 2k-1 genes (amira/graph_utils.py:258-296); k=3 when
+    mean coverage < 20."""
+    geneMer_size = 3
+    if overall_mean_node_coverage >= 20:
+        for k in range(3, 16, 2):
+            graph = build_graph(
+                dict(new_annotatedReads), k, dict(new_gene_position_dict), vocab
+            )
+            amr_nodes = {
+                n.hash
+                for g in sample_genesOfInterest
+                for n in graph.get_nodes_containing(g)
+            }
+
+            def is_component_valid(component):
+                nodes_in_component = [
+                    n.hash for n in graph.get_nodes_in_component(component)
+                ]
+                reads = graph.collect_reads_in_path(
+                    [n for n in nodes_in_component if n in amr_nodes]
+                )
+                lengths = [len(graph.get_reads()[r]) for r in reads]
+                if len(lengths) != 0:
+                    return (
+                        len([x for x in lengths if x >= (2 * k - 1)]) / len(lengths)
+                        >= 0.8
+                    )
+                return True
+
+            if all(is_component_valid(c) for c in graph.components()):
+                geneMer_size = k
+            else:
+                break
+    return geneMer_size
+
+
+def get_overall_mean_node_coverages(graph):
+    """Per-k mean of 'reads on node with >= k genes' counts
+    (amira/graph_utils.py:299-313)."""
+    reads = graph.get_reads()
+    read_len = {r: len(reads[r]) for r in reads}
+    out = {}
+    node_read_lists = [n.reads for n in graph.all_nodes()]
+    for k in range(3, 16, 2):
+        coverages = [
+            sum(1 for r in node_reads if read_len[r] >= k)
+            for node_reads in node_read_lists
+        ]
+        out[k] = float(np.mean(coverages)) if coverages else 0
+    return out

@@ -1,0 +1,100 @@
+"""FracMinHash sketches of DNA sequences (sourmash replacement).
+
+The reference gates bubble corrections on minimizer containment between the
+read subsequences spanning two graph paths (construct_graph.py:2148-2194,
+1797-1808: MinHash(ksize=11, scaled=10), containment > 0.80). Only the
+containment *ratios* matter, not the specific hash function, so this
+implementation 2-bit-packs canonical k-mers and mixes them with splitmix64 —
+fully vectorized in numpy (and batchable in JAX for large sweeps).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+_BASE_CODE = np.full(256, 255, dtype=np.uint8)
+for b, c in zip(b"ACGT", range(4)):
+    _BASE_CODE[b] = c
+for b, c in zip(b"acgt", range(4)):
+    _BASE_CODE[b] = c
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    x = x * _GOLDEN + np.uint64(1)
+    x = (x ^ (x >> np.uint64(30))) * _MIX1
+    x = (x ^ (x >> np.uint64(27))) * _MIX2
+    return x ^ (x >> np.uint64(31))
+
+
+def encode_dna(seq: str) -> np.ndarray:
+    """ACGT -> 0..3 uint8; other characters -> 255 (invalid)."""
+    raw = np.frombuffer(seq.encode("ascii", "replace"), dtype=np.uint8)
+    return _BASE_CODE[raw]
+
+
+def canonical_kmer_codes(codes: np.ndarray, k: int) -> np.ndarray:
+    """Canonical 2-bit-packed k-mer codes for every valid window.
+
+    Windows containing non-ACGT bases are dropped (sourmash force=True
+    semantics). Requires 2k <= 62.
+    """
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(codes, k)  # (n, k)
+    valid = ~(win == 255).any(axis=1)
+    win = win[valid].astype(np.uint64)
+    if len(win) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    shifts = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))
+    fwd = (win << shifts).sum(axis=1, dtype=np.uint64)
+    rc_win = (np.uint64(3) - win)[:, ::-1]
+    rc = (rc_win << shifts).sum(axis=1, dtype=np.uint64)
+    return np.minimum(fwd, rc)
+
+
+class MinHash:
+    """FracMinHash: retains k-mer hashes below 2^64/scaled."""
+
+    __slots__ = ("ksize", "scaled", "_hashes", "_max_hash")
+
+    def __init__(self, ksize: int = 11, scaled: int = 10):
+        self.ksize = ksize
+        self.scaled = scaled
+        self._hashes: set[int] = set()
+        self._max_hash = int(2**64 // scaled) if scaled > 1 else None
+
+    def add_sequence(self, seq: str, force: bool = True):
+        codes = encode_dna(seq)
+        kmers = canonical_kmer_codes(codes, self.ksize)
+        if len(kmers) == 0:
+            return
+        h = _splitmix64_np(kmers)
+        if self._max_hash is not None:
+            h = h[h < np.uint64(self._max_hash)]
+        self._hashes.update(int(x) for x in np.unique(h))
+
+    @property
+    def hashes(self) -> set[int]:
+        return self._hashes
+
+    def add_many(self, other: "MinHash"):
+        self._hashes.update(other._hashes)
+
+    def contained_by(self, other: "MinHash") -> float:
+        """|self ∩ other| / |self| (sourmash containment)."""
+        if not self._hashes:
+            return 0.0
+        return len(self._hashes & other._hashes) / len(self._hashes)
+
+    def jaccard(self, other: "MinHash") -> float:
+        union = self._hashes | other._hashes
+        if not union:
+            return 0.0
+        return len(self._hashes & other._hashes) / len(union)

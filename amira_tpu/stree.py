@@ -1,0 +1,77 @@
+"""Contiguous-subsequence search over collections of symbol sequences.
+
+The reference leans on a generalized suffix tree (`suffix_tree.Tree`) purely
+for `find_all(pattern)`-style queries: which sequences contain this exact
+contiguous pattern, and what is the suffix starting at the match
+(path_finding_utils.py:79-123). The sequences involved (reads in gene/node
+space) are short, so an n-gram index + direct verification answers the same
+queries with tensor-friendly machinery and no tree construction.
+"""
+
+from __future__ import annotations
+
+
+def find_sublist_indices(main_list, sublist):
+    """All (start, end-inclusive) occurrences of sublist in main_list
+    (path_finding_utils.py:68-77)."""
+    indices = []
+    m = len(sublist)
+    for i in range(len(main_list) - m + 1):
+        if main_list[i : i + m] == sublist:
+            indices.append((i, i + m - 1))
+    return indices
+
+
+def is_sublist(long_list, sub_list):
+    assert isinstance(long_list, list) and isinstance(sub_list, list)
+    m = len(sub_list)
+    return any(
+        sub_list == long_list[i : i + m] for i in range(len(long_list) - m + 1)
+    )
+
+
+class SequenceIndex:
+    """Index of sequences supporting contains/suffix queries by first symbol.
+
+    Replaces `suffix_tree.Tree` for the access patterns the reference uses:
+      * find_ids(pattern): ids of sequences containing the pattern
+      * find_all(pattern): (id, start) pairs for every occurrence
+      * suffixes_from(symbol): per id, the longest suffix starting at an
+        occurrence of `symbol` (get_suffixes_from_initial_tree semantics).
+    """
+
+    def __init__(self, sequences: dict):
+        self.sequences = {k: list(v) for k, v in sequences.items()}
+        # posting lists: symbol -> list of (seq_id, position)
+        self._postings: dict = {}
+        for sid, seq in self.sequences.items():
+            for i, sym in enumerate(seq):
+                self._postings.setdefault(sym, []).append((sid, i))
+
+    def find_all(self, pattern):
+        """Every (seq_id, start_index) where pattern occurs contiguously."""
+        pattern = list(pattern)
+        if not pattern:
+            return []
+        first = pattern[0]
+        m = len(pattern)
+        out = []
+        for sid, pos in self._postings.get(first, ()):
+            seq = self.sequences[sid]
+            if seq[pos : pos + m] == pattern:
+                out.append((sid, pos))
+        return out
+
+    def find_ids(self, pattern) -> set:
+        return {sid for sid, _ in self.find_all(pattern)}
+
+    def suffixes_from(self, symbol) -> dict:
+        """For each sequence containing `symbol`, the longest suffix starting
+        at an occurrence of it (i.e. from the FIRST occurrence), mirroring
+        path_finding_utils.py:88-100."""
+        suffixes: dict = {}
+        for sid, pos in self._postings.get(symbol, ()):
+            cand = self.sequences[sid][pos:]
+            if sid not in suffixes or len(cand) > len(suffixes[sid]):
+                suffixes[sid] = cand
+        return suffixes

@@ -1,0 +1,119 @@
+"""Bubble-popping and sketch semantics."""
+
+import numpy as np
+
+from amira_tpu.bubbles import (
+    filter_paths_between_bubble_starts,
+    get_all_paths_between_junctions_in_component,
+    identify_potential_bubble_starts,
+    longest_common_sublist,
+    separate_paths_by_terminal_nodes,
+)
+from amira_tpu.graph import GeneMerGraph
+from amira_tpu.sketch import MinHash, canonical_kmer_codes, encode_dna
+from amira_tpu.stree import SequenceIndex
+
+
+def _bubble_graph(n_high=6, n_low=2):
+    """Two alternative paths a..e between shared flanks: high-coverage via
+    '+m', low-coverage via '+x'."""
+    high = ["+a", "+b", "+c", "+m", "+d", "+e", "+f"]
+    low = ["+a", "+b", "+c", "+x", "+d", "+e", "+f"]
+    reads = {}
+    for i in range(n_high):
+        reads[f"h{i}"] = list(high)
+    for i in range(n_low):
+        reads[f"l{i}"] = list(low)
+    positions = {
+        r: [(j * 100, j * 100 + 99) for j in range(len(reads[r]))] for r in reads
+    }
+    rng = np.random.RandomState(0)
+    seq = "".join(rng.choice(list("ACGT"), size=1600))
+    fastq = {r: {"sequence": seq, "quality": "I" * len(seq)} for r in reads}
+    return GeneMerGraph(reads, 3, positions), fastq
+
+
+def test_identify_bubble_starts():
+    g, _ = _bubble_graph()
+    starts = identify_potential_bubble_starts(g)
+    # one component; the two junction nodes appear with their directions
+    assert len(starts) == 1
+    comp_starts = list(starts.values())[0]
+    assert len(comp_starts) >= 2
+
+
+def test_paths_between_junctions_and_filtering():
+    g, _ = _bubble_graph()
+    starts = list(identify_potential_bubble_starts(g).values())[0]
+    paths = get_all_paths_between_junctions_in_component(g, starts, 12)
+    # the two arms of the bubble
+    assert len(paths) == 2
+    filtered = filter_paths_between_bubble_starts(g, paths)
+    assert len(filtered) == 2
+    binned = separate_paths_by_terminal_nodes(sorted(filtered, key=lambda x: len(x[0])))
+    assert len(binned) == 1
+    pair_paths = list(binned.values())[0]
+    assert len(pair_paths) == 2
+
+
+def test_bubble_correction_end_to_end():
+    g, fastq = _bubble_graph()
+    reads, positions, path_coverages, mpc = g.correct_low_coverage_paths(
+        fastq, set(), 1, 5, set(), True
+    )
+    high = ["+a", "+b", "+c", "+m", "+d", "+e", "+f"]
+    # the low-coverage reads were corrected onto the high-coverage arm
+    for i in range(2):
+        assert reads[f"l{i}"] == high, reads[f"l{i}"]
+        assert len(positions[f"l{i}"]) == 7
+    for i in range(6):
+        assert reads[f"h{i}"] == high
+
+
+def test_bubble_correction_never_deletes_amr_genes():
+    g, fastq = _bubble_graph()
+    reads, positions, _, _ = g.correct_low_coverage_paths(
+        fastq, {"x"}, 1, 5, set(), True
+    )
+    low = ["+a", "+b", "+c", "+x", "+d", "+e", "+f"]
+    for i in range(2):
+        assert reads[f"l{i}"] == low
+
+
+def test_longest_common_sublist():
+    a = ["x", "a", "b", "c", "y"]
+    b = ["q", "a", "b", "c", "z"]
+    sub, (sa, ea), (sb, eb) = longest_common_sublist(a, b)
+    assert sub == ["a", "b", "c"]
+    assert (sa, ea) == (1, 3)
+    assert (sb, eb) == (1, 3)
+    sub, _, _ = longest_common_sublist(["1"], ["2"])
+    assert sub == []
+
+
+def test_minhash_containment():
+    m1 = MinHash(ksize=11, scaled=1)
+    m2 = MinHash(ksize=11, scaled=1)
+    seq = "ACGTACGGTTACGATCGATCGGCTAGCTA" * 4
+    m1.add_sequence(seq)
+    m2.add_sequence(seq)
+    assert m1.contained_by(m2) == 1.0
+    m3 = MinHash(ksize=11, scaled=1)
+    m3.add_sequence("TTTTTTTTTTTTTTTTTTTTTTTA")
+    assert m1.contained_by(m3) == 0.0
+
+
+def test_canonical_kmer_reverse_complement():
+    fwd = encode_dna("ACGTACGGTTA")
+    rc = encode_dna("TAACCGTACGT")
+    assert canonical_kmer_codes(fwd, 11)[0] == canonical_kmer_codes(rc, 11)[0]
+    # non-ACGT windows are dropped
+    assert len(canonical_kmer_codes(encode_dna("NACGTACGTACG"), 11)) == 1
+
+
+def test_sequence_index_queries():
+    idx = SequenceIndex({"r1": [1, 2, 3, 4], "r2": [2, 3], "r3": [5, 6]})
+    assert idx.find_ids([2, 3]) == {"r1", "r2"}
+    assert idx.find_ids([3, 2]) == set()
+    assert idx.suffixes_from(2) == {"r1": [2, 3, 4], "r2": [2, 3]}
+    assert idx.find_all([9]) == []
