@@ -1,0 +1,113 @@
+"""Consensus polishing of a draft sequence from read alignments (racon
+replacement).
+
+The reference runs 5 iterations of minimap2 + `racon -u --no-trimming
+-w <len+200>` (result_utils.py:285-335, 541-556): with a window larger than
+the sequence, racon computes a single partial-order-alignment consensus of
+all read segments against the draft backbone. Here each iteration re-aligns
+the reads with the banded SW kernel and takes a weighted column consensus
+(substitutions, deletions, and majority insertions), which converges to the
+same consensus on ONT-coverage data; iterating against re-alignment plays
+the role of POA's joint alignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from amira_tpu.ops.align import Aligner, reverse_complement
+
+_BASES = "ACGT"
+_BASE_IDX = {b: i for i, b in enumerate(_BASES)}
+
+
+def consensus_from_alignments(draft: str, alignments) -> str:
+    """One consensus round.
+
+    alignments: iterable of (strand, Alignment, oriented_query_seq) where
+    oriented_query_seq is the query in the orientation that was aligned.
+    """
+    L = len(draft)
+    # votes[pos, 0:4] = base votes (match or substitution), [pos, 4] = deletion
+    votes = np.zeros((L, 5), dtype=np.int32)
+    insertions: dict[int, dict[str, int]] = {}
+    for strand, aln, qseq in alignments:
+        qi = aln.q_start
+        ri = aln.r_start
+        for op, n in aln.cigar:
+            if op == "=" or op == "X":
+                for t in range(n):
+                    b = _BASE_IDX.get(qseq[qi + t].upper())
+                    if b is not None:
+                        votes[ri + t, b] += 1
+                qi += n
+                ri += n
+            elif op == "I":
+                ins = qseq[qi : qi + n].upper()
+                slot = insertions.setdefault(ri, {})
+                slot[ins] = slot.get(ins, 0) + 1
+                qi += n
+            elif op == "D":
+                votes[ri : ri + n, 4] += 1
+                ri += n
+    out = []
+    depth = votes.sum(axis=1)
+    for pos in range(L):
+        # majority insertion BEFORE this draft position
+        ins_votes = insertions.get(pos)
+        if ins_votes:
+            best_ins, n_ins = max(ins_votes.items(), key=lambda kv: kv[1])
+            local_depth = depth[pos] if depth[pos] > 0 else 1
+            if n_ins * 2 > local_depth:
+                out.append(best_ins)
+        if depth[pos] == 0:
+            out.append(draft[pos])  # uncovered: keep the draft base
+            continue
+        col = votes[pos]
+        best = int(np.argmax(col))
+        # tie-break toward the draft base
+        draft_b = _BASE_IDX.get(draft[pos].upper())
+        if draft_b is not None and col[draft_b] == col[best]:
+            best = draft_b
+        if best == 4:
+            continue  # deletion wins: emit nothing
+        out.append(_BASES[best])
+    # trailing insertions (after the final draft base)
+    ins_votes = insertions.get(L)
+    if ins_votes:
+        best_ins, n_ins = max(ins_votes.items(), key=lambda kv: kv[1])
+        tail_depth = depth[L - 1] if L and depth[L - 1] > 0 else 1
+        if n_ins * 2 > tail_depth:
+            out.append(best_ins)
+    return "".join(out)
+
+
+def polish_once(draft: str, reads: dict[str, str], band_width: int = 256):
+    """Align every read to the draft and emit the consensus (one
+    racon_one_iteration equivalent). Returns (consensus, alignments)."""
+    aligner = Aligner({"draft": draft}, band_width=band_width)
+    alns = []
+    for rid, seq in reads.items():
+        hits = aligner.map_sequence(seq)
+        if "draft" not in hits:
+            continue
+        strand, aln = hits["draft"]
+        oriented = seq if strand == "+" else reverse_complement(seq)
+        alns.append((strand, aln, oriented))
+    if not alns:
+        return draft, []
+    return consensus_from_alignments(draft, alns), alns
+
+
+def polish(draft: str, reads: dict[str, str], iterations: int = 5, band_width: int = 256) -> str:
+    """Iterated polish: re-align + consensus, `iterations` times
+    (result_utils.py:541-556)."""
+    seq = draft
+    for _ in range(iterations):
+        new_seq, alns = polish_once(seq, reads, band_width)
+        if not alns:
+            break
+        if new_seq == seq:
+            break  # converged
+        seq = new_seq
+    return seq

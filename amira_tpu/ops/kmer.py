@@ -1,0 +1,184 @@
+"""Canonical DNA k-mer counting, histogramming and querying on device.
+
+Replaces the reference's Jellyfish subprocesses (result_utils.py:1050-1141:
+`jellyfish count -m 15 -C`, `histo`, `query`) with a JAX sort/segment
+pipeline: 2-bit-packed canonical k-mers (k=15 fits 30 bits -> uint32),
+device-wide sort, run-length extraction for counts, and searchsorted for
+queries. Copy-number estimation math (Poisson-mixture error cutoff, smoothed
+histogram peak) is ported from result_utils.py:975-1022.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amira_tpu.sketch import encode_dna
+
+_SENTINEL = np.uint8(255)
+
+
+def _concat_codes(seqs: list[str]) -> np.ndarray:
+    """Concatenate 2-bit base codes with sentinel separators so k-mer windows
+    never span two sequences."""
+    parts = []
+    for s in seqs:
+        parts.append(encode_dna(s))
+        parts.append(np.array([_SENTINEL], dtype=np.uint8))
+    if not parts:
+        return np.zeros(0, dtype=np.uint8)
+    return np.concatenate(parts)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _kmer_codes_kernel(codes, k: int):
+    """Canonical k-mer code for every window; invalid windows -> 2^(2k).
+
+    codes: (N,) uint8 base codes (255 = invalid/separator).
+    Returns (N - k + 1,) uint32 canonical codes, with invalid windows mapped
+    to the (out-of-range) value 4**k, so a stable sort pushes them to the end.
+    """
+    n = codes.shape[0] - k + 1
+    b = codes.astype(jnp.uint32)
+    fwd = jnp.zeros(n, dtype=jnp.uint32)
+    rc = jnp.zeros(n, dtype=jnp.uint32)
+    valid = jnp.ones(n, dtype=bool)
+    for j in range(k):
+        bj = jax.lax.dynamic_slice_in_dim(b, j, n)
+        valid = valid & (bj != 255)
+        fwd = (fwd << 2) | (bj & 3)
+        rc = rc | (((3 - bj) & 3) << (2 * j))
+    canon = jnp.minimum(fwd, rc)
+    return jnp.where(valid, canon, jnp.uint32(4**k))
+
+
+class KmerCounter:
+    """Canonical k-mer count table over a read set (jellyfish equivalent)."""
+
+    def __init__(self, k: int = 15):
+        assert 2 * k <= 31, "k-mer must fit in an int32 code"
+        self.k = k
+        self.kmers: np.ndarray = np.zeros(0, dtype=np.uint32)
+        self.counts: np.ndarray = np.zeros(0, dtype=np.int64)
+
+    @classmethod
+    def from_sequences(cls, seqs, k: int = 15, min_count: int = 0):
+        self = cls(k)
+        codes = _concat_codes(list(seqs))
+        if len(codes) < k:
+            return self
+        window_codes = np.asarray(_kmer_codes_kernel(codes, k))
+        limit = np.uint32(4**k)
+        window_codes = window_codes[window_codes < limit]
+        if len(window_codes) == 0:
+            return self
+        # sort + run-length: device-friendly, done with numpy on host for the
+        # final compaction (dynamic output size)
+        sorted_codes = np.sort(window_codes, kind="stable")
+        boundary = np.ones(len(sorted_codes), dtype=bool)
+        boundary[1:] = sorted_codes[1:] != sorted_codes[:-1]
+        starts = np.nonzero(boundary)[0]
+        ends = np.append(starts[1:], len(sorted_codes))
+        kmers = sorted_codes[starts]
+        counts = (ends - starts).astype(np.int64)
+        if min_count > 0:
+            keep = counts >= min_count
+            kmers, counts = kmers[keep], counts[keep]
+        self.kmers, self.counts = kmers, counts
+        return self
+
+    def histo(self) -> dict[int, int]:
+        """count -> number of distinct k-mers with that count
+        (jellyfish histo)."""
+        if len(self.counts) == 0:
+            return {}
+        values, freqs = np.unique(self.counts, return_counts=True)
+        return {int(v): int(f) for v, f in zip(values, freqs)}
+
+    def query_sequences(self, seqs) -> np.ndarray:
+        """Count of every k-mer occurrence of `seqs` in this table
+        (jellyfish query): one entry per valid k-mer window, 0 when absent."""
+        codes = _concat_codes(list(seqs))
+        if len(codes) < self.k:
+            return np.zeros(0, dtype=np.int64)
+        window_codes = np.asarray(_kmer_codes_kernel(codes, self.k))
+        window_codes = window_codes[window_codes < np.uint32(4**self.k)]
+        if len(window_codes) == 0 or len(self.kmers) == 0:
+            return np.zeros(len(window_codes), dtype=np.int64)
+        idx = np.searchsorted(self.kmers, window_codes)
+        idx = np.clip(idx, 0, len(self.kmers) - 1)
+        hit = self.kmers[idx] == window_codes
+        return np.where(hit, self.counts[idx], 0)
+
+
+# ------------------------------------------------- copy-number estimation
+
+
+def kmer_cutoff_estimation(kmer_counts: dict[int, int]) -> int:
+    """Fit a 2-component Poisson mixture (error mu=1 vs signal mu=c) and
+    return the smallest count where signal dominates
+    (result_utils.py:975-1004)."""
+    from scipy.optimize import minimize
+    from scipy.stats import poisson
+
+    i_values = np.array(list(kmer_counts.keys()))
+    xi_values = np.array(list(kmer_counts.values()))
+
+    def neg_log_likelihood(params):
+        w, c = params
+        if w < 0 or w > 1 or c <= 0:
+            return np.inf
+        error_prob = poisson.pmf(i_values, mu=1)
+        real_prob = poisson.pmf(i_values, mu=c)
+        mix = w * error_prob + (1 - w) * real_prob
+        mix[mix == 0] = 1e-10
+        return -np.sum(xi_values * np.log(mix))
+
+    result = minimize(neg_log_likelihood, [0.1, 10], method="BFGS")
+    w_opt, c_opt = result.x
+    for i in i_values:
+        if poisson.pmf(i, mu=c_opt) * (1 - w_opt) > poisson.pmf(i, mu=1) * w_opt:
+            return int(i)
+    return 0
+
+
+def estimate_kmer_depth(kmer_counts: dict[int, int]) -> int:
+    """Highest peak of the smoothed log k-mer count histogram
+    (result_utils.py:1007-1022)."""
+    from scipy.signal import find_peaks, savgol_filter
+
+    x_values, y_values = zip(*sorted(kmer_counts.items()))
+    log_counts = np.log(np.array(y_values) + 1)
+    if len(log_counts) < 5:
+        # too sparse to smooth: take the most frequent count directly
+        return int(x_values[int(np.argmax(log_counts))])
+    window_length = min(29, len(log_counts) // 2 * 2 + 1, len(log_counts))
+    smoothed = savgol_filter(log_counts, window_length, min(3, window_length - 1))
+    peak_indices, _ = find_peaks(smoothed)
+    if len(peak_indices) == 0:
+        peak_indices = np.array([int(np.argmax(smoothed))])
+    max_peak = peak_indices[int(np.argmax(smoothed[peak_indices]))]
+    return int(x_values[max_peak])
+
+
+def estimate_overall_read_depth(sequences, k: int = 15):
+    """Count -> cutoff-fit -> recount -> depth peak
+    (result_utils.py:1050-1080). Returns (depth, filtered KmerCounter)."""
+    full = KmerCounter.from_sequences(sequences, k)
+    cutoff = kmer_cutoff_estimation(full.histo())
+    filtered = KmerCounter.from_sequences(sequences, k, min_count=max(cutoff, 1))
+    depth = estimate_kmer_depth(filtered.histo())
+    return depth, filtered
+
+
+def estimate_depth_for_reads(counter: KmerCounter, sequences) -> float:
+    """Median count of the reads' k-mers in the filtered table, dropping
+    zero-count entries (result_utils.py:1037-1047, 1083-1086)."""
+    counts = counter.query_sequences(sequences)
+    counts = counts[counts != 0]
+    if len(counts) == 0:
+        return 0.0
+    return float(np.median(counts))

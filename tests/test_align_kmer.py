@@ -1,0 +1,159 @@
+"""Alignment and k-mer kernel correctness."""
+
+import numpy as np
+import pytest
+
+from amira_tpu.ops.align import Aligner, reverse_complement
+from amira_tpu.ops.kmer import (
+    KmerCounter,
+    estimate_depth_for_reads,
+    estimate_overall_read_depth,
+    kmer_cutoff_estimation,
+)
+
+
+def _random_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def _mutate(rng, seq, sub_rate=0.05, indel_rate=0.02):
+    out = []
+    for ch in seq:
+        r = rng.rand()
+        if r < sub_rate:
+            out.append(rng.choice([c for c in "ACGT" if c != ch]))
+        elif r < sub_rate + indel_rate / 2:
+            continue  # deletion
+        elif r < sub_rate + indel_rate:
+            out.append(ch)
+            out.append(rng.choice(list("ACGT")))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def test_exact_match_alignment():
+    rng = np.random.RandomState(1)
+    ref = _random_seq(rng, 800)
+    aligner = Aligner({"refA": ref}, band_width=64)
+    hits = aligner.map_sequence(ref)
+    assert "refA" in hits
+    strand, aln = hits["refA"]
+    assert strand == "+"
+    assert aln.cigar == [("=", 800)]
+    assert aln.q_start == 0 and aln.q_end == 800
+    assert aln.r_start == 0 and aln.r_end == 800
+    assert aln.identity() == 1.0
+
+
+def test_reverse_strand_alignment():
+    rng = np.random.RandomState(2)
+    ref = _random_seq(rng, 600)
+    aligner = Aligner({"r": ref}, band_width=64)
+    hits = aligner.map_sequence(reverse_complement(ref))
+    strand, aln = hits["r"]
+    assert strand == "-"
+    assert aln.matching_bases == 600
+
+
+def test_noisy_read_alignment():
+    """An ONT-like 7% error read aligns with high identity and near-full
+    reference coverage."""
+    rng = np.random.RandomState(3)
+    ref = _random_seq(rng, 1500)
+    read = _mutate(rng, ref)
+    aligner = Aligner({"r": ref}, band_width=128)
+    hits = aligner.map_sequence(read)
+    strand, aln = hits["r"]
+    assert strand == "+"
+    assert aln.identity() > 0.9
+    covered = aln.r_end - aln.r_start
+    assert covered > 0.97 * len(ref)
+    # CIGAR consumes exactly the aligned query and ref spans
+    q_consumed = sum(n for op, n in aln.cigar if op in "=XI")
+    r_consumed = sum(n for op, n in aln.cigar if op in "=XD")
+    assert q_consumed == aln.q_end - aln.q_start
+    assert r_consumed == aln.r_end - aln.r_start
+
+
+def test_read_with_flanks_soft_clips():
+    """A read = flank + gene + flank against the gene reference soft-clips
+    the flanks (local alignment)."""
+    rng = np.random.RandomState(4)
+    gene = _random_seq(rng, 900)
+    read = _random_seq(rng, 250) + gene + _random_seq(rng, 250)
+    aligner = Aligner({"gene": gene}, band_width=64)
+    _, aln = aligner.map_sequence(read)["gene"]
+    assert aln.matching_bases == 900
+    assert aln.q_start == 250 and aln.q_end == 1150
+    assert aln.cigar_string().startswith("250S")
+    assert aln.cigar_string().endswith("250S")
+
+
+def test_best_reference_selection():
+    rng = np.random.RandomState(5)
+    base = _random_seq(rng, 1000)
+    near = _mutate(rng, base, sub_rate=0.01, indel_rate=0)
+    far = _mutate(rng, base, sub_rate=0.15, indel_rate=0.0)
+    aligner = Aligner({"near": near, "far": far}, band_width=64)
+    hits = aligner.map_sequence(base)
+    assert hits["near"][1].matching_bases > hits["far"][1].matching_bases
+
+
+def test_no_seeds_unmapped():
+    rng = np.random.RandomState(6)
+    aligner = Aligner({"r": _random_seq(rng, 500)}, band_width=64)
+    hits = aligner.map_sequence(_random_seq(rng, 300))
+    assert hits == {}
+
+
+def test_kmer_counter_roundtrip():
+    rng = np.random.RandomState(7)
+    seq = _random_seq(rng, 2000)
+    counter = KmerCounter.from_sequences([seq], k=15)
+    # every k-mer of the sequence is present with count >= 1
+    q = counter.query_sequences([seq])
+    assert len(q) == 2000 - 15 + 1
+    assert (q >= 1).all()
+    # reverse complement maps to the same canonical table
+    q_rc = counter.query_sequences([reverse_complement(seq)])
+    assert (q_rc >= 1).all()
+    # a foreign sequence has (near) zero hits
+    foreign = _random_seq(np.random.RandomState(99), 2000)
+    qf = counter.query_sequences([foreign])
+    assert (qf == 0).mean() > 0.99
+
+
+def test_kmer_counts_multiplicity():
+    seq = "ACGTACGGTCCATGCAT"  # 17 bp -> 3 15-mers
+    counter = KmerCounter.from_sequences([seq, seq, seq], k=15)
+    assert sorted(counter.counts.tolist()) == [3, 3, 3]
+    h = counter.histo()
+    assert h == {3: 3}
+
+
+def test_depth_estimation_pipeline():
+    """30x coverage of a genome -> estimated k-mer depth ~= 30."""
+    rng = np.random.RandomState(8)
+    genome = _random_seq(rng, 3000)
+    reads = [genome for _ in range(30)]
+    # add error reads to form the error peak
+    reads += [_mutate(rng, genome, 0.2, 0.1) for _ in range(2)]
+    depth, counter = estimate_overall_read_depth(reads, k=15)
+    assert 25 <= depth <= 35
+    med = estimate_depth_for_reads(counter, [genome])
+    assert 28 <= med <= 34
+
+
+def test_cutoff_estimation():
+    """Dense Poisson-mixture histogram: error peak at mu=1, signal at mu=30;
+    the fitted cutoff falls between the peaks."""
+    from scipy.stats import poisson
+
+    histo = {}
+    for c in range(1, 60):
+        n = int(200000 * poisson.pmf(c, 1) + 10000 * poisson.pmf(c, 30))
+        if n > 0:
+            histo[c] = n
+    cutoff = kmer_cutoff_estimation(histo)
+    assert 2 <= cutoff <= 15
