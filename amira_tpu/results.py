@@ -1,0 +1,657 @@
+"""Allele recovery, copy-number estimation and result assembly.
+
+Reference semantics: amira/result_utils.py. The minimap2/racon/samtools/
+jellyfish subprocess pipeline (result_utils.py:259-341, 1050-1141) is
+replaced by the in-process device kernels: banded SW alignment
+(amira_tpu/ops/align.py), iterated consensus polishing
+(amira_tpu/ops/consensus.py) and the canonical k-mer engine
+(amira_tpu/ops/kmer.py). Output artifacts (AMR_allele_fastqs/<allele>/
+numbered FASTAs, amira_results.tsv) keep the reference's layout and schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+from amira_tpu.io import write_fasta, write_fastq
+from amira_tpu.ops.align import Aligner, reverse_complement
+from amira_tpu.ops.consensus import consensus_from_alignments
+from amira_tpu.ops.kmer import (
+    estimate_depth_for_reads,
+    estimate_overall_read_depth,
+)
+
+
+# ----------------------------------------------------------- cluster plumbing
+
+
+def get_found_genes(clusters_of_interest):
+    found = set()
+    for component_id in clusters_of_interest:
+        for gene in clusters_of_interest[component_id]:
+            found.add(gene)
+    return found
+
+
+def add_amr_alleles(
+    short_reads, short_read_gene_positions, sample_genesOfInterest, found_genes,
+    path_reads,
+):
+    """<gene>_1 clusters from short reads whose AMR gene got no graph cluster
+    (result_utils.py:30-46)."""
+    clusters_to_add: dict = {}
+    for read_id in short_reads:
+        for g in range(len(short_reads[read_id])):
+            strandless = short_reads[read_id][g][1:]
+            if strandless in sample_genesOfInterest and strandless not in found_genes:
+                key = f"{strandless}_1"
+                clusters_to_add.setdefault(key, [])
+                gene_start, gene_end = short_read_gene_positions[read_id][g]
+                clusters_to_add[key].append(f"{read_id}_{gene_start}_{gene_end}")
+                path_tuple = (f"+{strandless}_1",)
+                path_reads.setdefault(path_tuple, set()).add(read_id)
+    return clusters_to_add
+
+
+def process_reads(
+    graph, sample_genesOfInterest, cores, short_reads, short_read_gene_positions,
+    overall_mean_node_coverage,
+):
+    """(result_utils.py:58-81)"""
+    clusters_of_interest, path_reads = graph.assign_reads_to_genes(
+        sample_genesOfInterest, cores, {}, overall_mean_node_coverage
+    )
+    found = get_found_genes(clusters_of_interest)
+    clusters_to_add = add_amr_alleles(
+        short_reads, short_read_gene_positions, sample_genesOfInterest, found,
+        path_reads,
+    )
+    return clusters_to_add, clusters_of_interest, path_reads
+
+
+# ------------------------------------------------------------ fastq slicing
+
+
+def slice_reads_for_allele(reads_for_allele, fastq_content):
+    """Read subsequences +/- 250 bp around the allele span
+    (result_utils.py:99-121)."""
+    read_subset: dict = {}
+    for r in reads_for_allele:
+        parts = r.split("_")
+        read_name = "_".join(parts[:-2])
+        start, end = int(parts[-2]), int(parts[-1])
+        fq = fastq_content[read_name]
+        lo = max(0, start - 250)
+        hi = min(len(fq["sequence"]) - 1, end + 250)
+        seq = fq["sequence"][lo:hi]
+        if seq != "":
+            read_subset[read_name] = {
+                "sequence": seq,
+                "quality": fq["quality"][lo:hi],
+            }
+    return read_subset
+
+
+def write_allele_fastq(reads_for_allele, fastq_content, output_dir, allele_name):
+    read_subset = slice_reads_for_allele(reads_for_allele, fastq_content)
+    d = os.path.join(output_dir, "AMR_allele_fastqs", allele_name)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, allele_name + ".fastq.gz")
+    write_fastq(path, read_subset)
+    return path
+
+
+def write_path_fastq(reads_for_path, fastq_content, output_dir, path_id):
+    read_subset = {
+        r: fastq_content[r]
+        for r in reads_for_path
+        if fastq_content[r]["sequence"] != ""
+    }
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, f"{path_id}.fastq.gz")
+    write_fastq(path, read_subset)
+    return path
+
+
+def write_fastqs_for_genes(clusters_of_interest, overall_mean_node_coverage, fastq_content, output_dir):
+    """(result_utils.py:1191-1232)"""
+    longest_reads_for_genes = []
+    supplemented: dict = {}
+    allele_component_mapping: dict = {}
+    files_to_assemble = []
+    for component in clusters_of_interest:
+        for gene in clusters_of_interest[component]:
+            for allele, reads in clusters_of_interest[component][gene].items():
+                files_to_assemble.append(
+                    write_allele_fastq(reads, fastq_content, output_dir, allele)
+                )
+                supplemented[allele] = reads
+                allele_component_mapping[allele] = component
+                longest = max(
+                    ("_".join(r.split("_")[:-2]) for r in reads),
+                    key=lambda rn: len(fastq_content[rn]["sequence"]),
+                    default=None,
+                )
+                if longest is not None:
+                    longest_reads_for_genes.append(
+                        f">{allele}\n{fastq_content[longest]['sequence']}"
+                    )
+    return (
+        longest_reads_for_genes,
+        supplemented,
+        allele_component_mapping,
+        files_to_assemble,
+    )
+
+
+def write_fastqs_for_genes_with_short_reads(
+    clusters_to_add, overall_mean_node_coverage, longest_reads_for_genes,
+    output_dir, files_to_assemble, fastq_content, supplemented,
+    allele_component_mapping,
+):
+    """(result_utils.py:1162-1188)"""
+    for allele, reads in clusters_to_add.items():
+        files_to_assemble.append(
+            write_allele_fastq(reads, fastq_content, output_dir, allele)
+        )
+        supplemented[allele] = reads
+        allele_component_mapping[allele] = None
+        longest = max(
+            ("_".join(r.split("_")[:-2]) for r in reads),
+            key=lambda rn: len(fastq_content[rn]["sequence"]),
+            default=None,
+        )
+        if longest is not None:
+            longest_reads_for_genes.append(
+                f">{allele}\n{fastq_content[longest]['sequence']}"
+            )
+    return longest_reads_for_genes, files_to_assemble
+
+
+# ------------------------------------------------------------ allele calling
+
+
+def _ref_pileups(alignments, references):
+    """Per-reference coverage span and proportion from read alignments
+    (get_ref_allele_pileups, result_utils.py:449-487)."""
+    ref_allele_positions = {}
+    cov_proportion = {}
+    depth = {ref: np.zeros(len(seq), dtype=np.int32) for ref, seq in references.items()}
+    for _rid, hits in alignments.items():
+        for ref, (_strand, aln) in hits.items():
+            # aligned reference positions (deletions excluded)
+            ri = aln.r_start
+            for op, n in aln.cigar:
+                if op in "=X":
+                    depth[ref][ri : ri + n] += 1
+                    ri += n
+                elif op == "D":
+                    ri += n
+    for ref, d in depth.items():
+        nz = np.nonzero(d)[0]
+        if len(nz):
+            ref_allele_positions[ref] = (int(nz[0]), int(nz[-1]))
+        else:
+            ref_allele_positions[ref] = (None, None)
+        cov_proportion[ref] = float((d != 0).mean()) if len(d) else 0.0
+    return ref_allele_positions, cov_proportion
+
+
+def get_closest_allele_from_reads(alignments, references, ref_cov_proportion, required_coverage):
+    """Best reference from read alignments ("reads" mode,
+    result_utils.py:345-420)."""
+    ref_matching: dict = {}
+    ref_covered: dict = {}
+    ref_cigars: dict = {}
+    unique_reads = set()
+    for rid, hits in alignments.items():
+        if hits:
+            unique_reads.add(rid)
+        for ref, (_strand, aln) in hits.items():
+            total = len(references[ref])
+            prop_matching = aln.matching_bases / total
+            if ref not in ref_matching or prop_matching > ref_matching[ref]:
+                ref_matching[ref] = prop_matching
+                ref_cigars[ref] = aln
+            ref_covered[ref] = ref_cov_proportion[ref]
+    valid, invalid = [], []
+    for ref in ref_matching:
+        entry = (
+            ref,
+            ref_matching[ref],
+            len(references[ref]),
+            ref_covered[ref],
+            ref_cigars[ref].cigar_string(),
+            ref_cigars[ref].cigar_tuples(),
+        )
+        if ref_covered[ref] >= required_coverage - 0.05:
+            valid.append(entry)
+        else:
+            invalid.append(entry)
+    valid.sort(key=lambda x: (min(1, x[3]), x[1], x[2]), reverse=True)
+    if valid:
+        return True, valid, unique_reads
+    invalid.sort(key=lambda x: (x[3], x[1]), reverse=True)
+    return False, invalid, unique_reads
+
+
+def get_closest_allele_from_polished(polished_seq, references, band_width=256):
+    """Best reference for the polished allele ("allele" mode,
+    result_utils.py:345-420, 557-570)."""
+    aligner = Aligner(references, band_width=band_width)
+    hits = aligner.map_sequence(polished_seq)
+    entries = []
+    for ref, (_strand, aln) in hits.items():
+        total = len(references[ref])
+        prop_matching = aln.matching_bases / aln.q_len
+        prop_covered = (aln.q_end - aln.q_start) / total
+        entries.append(
+            (
+                ref,
+                prop_matching,
+                total,
+                prop_covered,
+                aln.cigar_string(),
+                aln.cigar_tuples(),
+                aln,
+            )
+        )
+    entries.sort(key=lambda x: (min(1, x[3]), x[1], x[2]), reverse=True)
+    return entries
+
+
+def _identity_from_cigartuples(cigartuples):
+    matching = sum(n for op, n in cigartuples if op == 7)
+    total = sum(n for op, n in cigartuples if op != 4 and op != 5)
+    return matching / total if total else 0.0
+
+
+def compare_reads_to_references(
+    allele_name,
+    reads_for_allele,
+    output_dir,
+    reference_genes,
+    fastq_content,
+    phenotypes,
+    required_identity,
+    required_coverage,
+    band_width=256,
+    debug=False,
+):
+    """Per-allele polish-and-match pipeline (result_utils.py:494-725).
+
+    Returns the result-row dict with the reference's column schema.
+    """
+    gene_name = "_".join(allele_name.split("_")[:-1])
+    out_dir = os.path.join(output_dir, allele_name)
+    os.makedirs(out_dir, exist_ok=True)
+    references = reference_genes[gene_name]
+    write_fasta(
+        os.path.join(out_dir, "01.reference_alleles.fasta"),
+        [f">{a}\n{s}" for a, s in references.items()],
+    )
+    reads = slice_reads_for_allele(reads_for_allele, fastq_content)
+    read_seqs = {r: v["sequence"] for r, v in reads.items()}
+    aligner = Aligner(references, band_width=band_width)
+    alignments = {rid: aligner.map_sequence(seq) for rid, seq in read_seqs.items()}
+    ref_allele_positions, ref_cov_proportion = _ref_pileups(alignments, references)
+    validity, refs_sorted, unique_reads = get_closest_allele_from_reads(
+        alignments, references, ref_cov_proportion, required_coverage
+    )
+    if validity:
+        valid_allele = refs_sorted[0][0]
+        valid_allele_sequence = references[valid_allele]
+        first_base, last_base = ref_allele_positions[valid_allele]
+        draft = valid_allele_sequence[first_base : last_base + 1]
+        write_fasta(
+            os.path.join(out_dir, "03.sequence_to_polish.fasta"),
+            [f">{valid_allele}\n{draft}"],
+        )
+        # 5 polish iterations against re-alignment (racon equivalent)
+        seq = draft
+        for _ in range(5):
+            draft_aligner = Aligner({"draft": seq}, band_width=band_width)
+            alns = []
+            for rid, rseq in read_seqs.items():
+                h = draft_aligner.map_sequence(rseq)
+                if "draft" in h:
+                    strand, aln = h["draft"]
+                    oriented = rseq if strand == "+" else reverse_complement(rseq)
+                    alns.append((strand, aln, oriented))
+            if not alns:
+                break
+            new_seq = consensus_from_alignments(seq, alns)
+            if new_seq == seq:
+                break
+            seq = new_seq
+        polished = seq
+        write_fasta(
+            os.path.join(out_dir, "04.polished_sequence.fasta"),
+            [f">{valid_allele}\n{polished}"],
+        )
+        entries = get_closest_allele_from_polished(
+            polished, references, band_width
+        )
+        if entries:
+            max_similarity = entries[0][1]
+            ties = [e for e in entries if e[1] == max_similarity]
+            if len(ties) == 1:
+                (closest_allele, _mp, match_length, coverage_proportion,
+                 cigarstring, cigartuple, _aln) = ties[0]
+                write_fasta(
+                    os.path.join(out_dir, "06.final_sequence.fasta"),
+                    [f">{closest_allele}\n{polished}"],
+                )
+                try:
+                    gene_out = closest_allele.split(".")[0]
+                    closest_ref = closest_allele.split(".")[1]
+                except IndexError:
+                    gene_out = gene_name
+                    closest_ref = closest_allele
+                phenotype = phenotypes.get(closest_allele, "")
+                identity = _identity_from_cigartuples(cigartuple)
+                return {
+                    "Determinant name": gene_out,
+                    "Sequence name": phenotype,
+                    "Closest reference": closest_ref,
+                    "Reference length": match_length,
+                    "Identity (%)": round(identity * 100, 1),
+                    "Coverage (%)": min(100.0, round(coverage_proportion * 100, 1)),
+                    "Cigar string": cigarstring,
+                    "Amira allele": allele_name,
+                    "Number of reads used for polishing": len(unique_reads),
+                }
+            else:
+                names, lens, covs, cigs, idents = [], [], [], [], []
+                for e in ties:
+                    names.append(e[0])
+                    lens.append(e[2])
+                    covs.append(e[3])
+                    cigs.append(e[4])
+                    idents.append(_identity_from_cigartuples(e[5]))
+                write_fasta(
+                    os.path.join(out_dir, "06.final_sequence.fasta"),
+                    [f">{'/'.join(names)}\n{polished}"],
+                )
+                try:
+                    gene_names = "/".join(
+                        sorted({c.split(".")[0] for c in names})
+                    )
+                    closest_refs = "/".join(c.split(".")[1] for c in names)
+                except IndexError:
+                    gene_names = gene_name
+                    closest_refs = "/".join(names)
+                phen = "/".join(phenotypes.get(c, "") for c in names)
+                return {
+                    "Determinant name": gene_names,
+                    "Sequence name": phen,
+                    "Closest reference": closest_refs,
+                    "Reference length": "/".join(str(m) for m in lens),
+                    "Identity (%)": "/".join(
+                        str(round(p * 100, 1)) for p in idents
+                    ),
+                    "Coverage (%)": "/".join(
+                        str(min(100.0, round(p * 100, 1))) for p in covs
+                    ),
+                    "Cigar string": "/".join(cigs),
+                    "Amira allele": allele_name,
+                    "Number of reads used for polishing": len(unique_reads),
+                }
+    # no valid reference: report the closest invalid one (partial rows)
+    if refs_sorted:
+        (invalid_allele, _mp, match_length, coverage_proportion, cigarstring,
+         cigartuple) = refs_sorted[0]
+        try:
+            gene_out = invalid_allele.split(".")[0]
+            closest_ref = invalid_allele.split(".")[1]
+        except IndexError:
+            gene_out = gene_name
+            closest_ref = invalid_allele
+        phenotype = phenotypes.get(invalid_allele, "")
+        identity = _identity_from_cigartuples(cigartuple)
+        return {
+            "Determinant name": gene_out,
+            "Sequence name": phenotype,
+            "Closest reference": closest_ref,
+            "Reference length": match_length,
+            "Identity (%)": round(identity * 100, 1),
+            "Coverage (%)": min(100.0, round(coverage_proportion * 100, 1)),
+            "Cigar string": cigarstring,
+            "Amira allele": allele_name,
+            "Number of reads used for polishing": len(unique_reads),
+        }
+    return {
+        "Determinant name": "",
+        "Sequence name": "",
+        "Closest reference": "",
+        "Reference length": 0,
+        "Identity (%)": 0,
+        "Coverage (%)": 0,
+        "Cigar string": "",
+        "Amira allele": allele_name,
+        "Number of reads used for polishing": len(unique_reads),
+    }
+
+
+def get_alleles(
+    supplemented_clusters,
+    output_dir,
+    reference_genes,
+    phenotypes_path,
+    fastq_content,
+    required_identity,
+    required_coverage,
+    debug=False,
+):
+    """Polish-and-match every allele cluster (result_utils.py:728-765)."""
+    with open(phenotypes_path) as i:
+        phenotypes = json.load(i)
+    rows = []
+    for allele_name, reads_for_allele in supplemented_clusters.items():
+        rows.append(
+            compare_reads_to_references(
+                allele_name,
+                reads_for_allele,
+                os.path.join(output_dir, "AMR_allele_fastqs"),
+                reference_genes,
+                fastq_content,
+                phenotypes,
+                required_identity,
+                required_coverage,
+                debug=debug,
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------- copy number
+
+
+def estimate_copy_numbers(
+    fastq_content, path_reads, amira_alleles, output_dir, k=15, debug=False
+):
+    """k-mer-depth copy numbers per allele path
+    (result_utils.py:1089-1159), via the on-device k-mer engine."""
+    outdir = os.path.join(output_dir, "AMR_allele_fastqs", "path_reads")
+    os.makedirs(outdir, exist_ok=True)
+    path_mapping: dict = {}
+    path_list = list(path_reads.keys())
+    for i, path in enumerate(path_list):
+        path_mapping[i + 1] = list(path)
+        write_path_fastq(path_reads[path], fastq_content, outdir, i + 1)
+    with open(os.path.join(outdir, "path_id_mapping.json"), "w") as o:
+        o.write(json.dumps(path_mapping))
+    all_seqs = [v["sequence"] for v in fastq_content.values()]
+    read_depth, counter = estimate_overall_read_depth(all_seqs, k)
+    sys.stderr.write(f"\namira-tpu: estimated k-mer depth = {read_depth}.\n")
+    gene_counts: dict = {}
+    for i, path in path_mapping.items():
+        gene_counts[i] = {}
+        for g in path:
+            strandless = g[1:]
+            if strandless in amira_alleles:
+                gene = "_".join(strandless.split("_")[:-1])
+                gene_counts[i][gene] = gene_counts[i].get(gene, 0) + 1
+    normalised_depths: dict = {}
+    mean_depth_per_reference: dict = {}
+    for path_id, path in path_mapping.items():
+        reads = path_reads[path_list[path_id - 1]]
+        seqs = [fastq_content[r]["sequence"] for r in reads]
+        depth_estimate = estimate_depth_for_reads(counter, seqs)
+        for g in path:
+            allele_name = g[1:]
+            if allele_name not in amira_alleles:
+                continue
+            gene = "_".join(allele_name.split("_")[:-1])
+            normalised_depths[allele_name] = depth_estimate / (
+                read_depth * gene_counts[path_id][gene]
+            )
+            mean_depth_per_reference[allele_name] = depth_estimate / read_depth
+    return normalised_depths, mean_depth_per_reference
+
+
+# ------------------------------------------------------------ result frame
+
+
+def write_empty_result(output_dir):
+    results = "Determinant name\tSequence name\tClosest reference\tReference length\t"
+    results += "Identity (%)\tCoverage (%)\tAmira allele\t"
+    results += "Number of reads used for polishing\tApproximate cellular copy number\n"
+    with open(os.path.join(output_dir, "amira_results.tsv"), "w") as o:
+        o.write(results)
+
+
+def supplement_result_df(
+    result_df, copy_numbers, mean_depth_per_reference, longest_read_lengths, debug
+):
+    estimates, copy_depths, read_lengths = [], [], []
+    for _index, row in result_df.iterrows():
+        estimates.append(copy_numbers[row["Amira allele"]])
+        copy_depths.append(mean_depth_per_reference[row["Amira allele"]])
+        read_lengths.append(longest_read_lengths.get(row["Amira allele"], 0))
+    result_df["Relative mean read depth"] = copy_depths
+    result_df["Approximate cellular copy number"] = estimates
+    if debug:
+        result_df["Longest read length"] = read_lengths
+    return result_df
+
+
+def filter_results(
+    result_df, min_relative_depth, supplemented_clusters, annotatedReads,
+    sample_genesOfInterest, required_identity, required_coverage,
+    mean_read_depth, plasmid_genes, meta,
+):
+    """Identity/coverage/relative-depth filters + comment flags
+    (result_utils.py:124-207)."""
+    alleles_to_delete = []
+    comments = []
+    if meta is True:
+        skip_depth_filtering = True
+        sys.stderr.write(
+            "\namira-tpu: skipping filtering by depth (metagenome mode).\n"
+        )
+    elif mean_read_depth < 20:
+        skip_depth_filtering = True
+        sys.stderr.write(
+            "\namira-tpu: skipping filtering by depth as read depth <20x.\n"
+        )
+    else:
+        skip_depth_filtering = False
+    required_coverage = required_coverage * 100
+    required_identity = required_identity * 100
+    for _index, row in result_df.iterrows():
+        flags = []
+        if isinstance(row["Identity (%)"], str) and "/" in row["Identity (%)"]:
+            identity = float(row["Identity (%)"].split("/")[0])
+        else:
+            identity = row["Identity (%)"]
+        if identity < required_identity:
+            sys.stderr.write(
+                f"\namira-tpu: allele {row['Amira allele']} removed due to "
+                f"insufficient similarity ({identity}).\n"
+            )
+            alleles_to_delete.append(row["Amira allele"])
+            continue
+        if isinstance(row["Coverage (%)"], str) and "/" in row["Coverage (%)"]:
+            coverage = float(row["Coverage (%)"].split("/")[0])
+        else:
+            coverage = row["Coverage (%)"]
+        if coverage < required_coverage:
+            sys.stderr.write(
+                f"\namira-tpu: allele {row['Amira allele']} removed due to "
+                f"insufficient coverage ({coverage}).\n"
+            )
+            alleles_to_delete.append(row["Amira allele"])
+            continue
+        if skip_depth_filtering is False:
+            relative_depth = row["Relative mean read depth"]
+            if relative_depth < min_relative_depth:
+                sys.stderr.write(
+                    f"\namira-tpu: allele {row['Amira allele']} removed due "
+                    f"to insufficient relative read depth ({relative_depth}).\n"
+                )
+                alleles_to_delete.append(row["Amira allele"])
+                continue
+        if coverage < 90:
+            flags.append("Partially present gene.")
+        reads = supplemented_clusters[row["Amira allele"]]
+        if all(
+            all(
+                g[1:] in sample_genesOfInterest
+                for g in annotatedReads.get("_".join(r.split("_")[:-2]), [])
+            )
+            for r in reads
+        ):
+            flags.append("Potential contaminant.")
+        comments.append(" ".join(flags))
+    for amira_allele in alleles_to_delete:
+        del supplemented_clusters[amira_allele]
+        result_df = result_df[result_df["Amira allele"] != amira_allele]
+    result_df["Comments"] = comments
+    return result_df
+
+
+def output_component_fastqs(output_dir, graph, fastq_content):
+    os.makedirs(os.path.join(output_dir, "component_fastqs"), exist_ok=True)
+    for component in graph.components():
+        hashes = [n.hash for n in graph.get_nodes_in_component(component)]
+        reads = graph.collect_reads_in_path(hashes)
+        write_fastq(
+            os.path.join(output_dir, "component_fastqs", f"{component}.fastq.gz"),
+            {r: fastq_content[r] for r in reads},
+        )
+
+
+def write_reads_per_AMR_gene(output_dir, supplemented_clusters):
+    final: dict = {}
+    for allele in supplemented_clusters:
+        final_path = os.path.join(
+            output_dir, "AMR_allele_fastqs", allele, "06.final_sequence.fasta"
+        )
+        fallback = os.path.join(
+            output_dir, "AMR_allele_fastqs", allele, "03.sequence_to_polish.fasta"
+        )
+        ref_name = allele
+        for p in (final_path, fallback):
+            if os.path.exists(p):
+                with open(p) as i:
+                    ref_name = i.read().split(" ")[0].replace(">", "")
+                if "\n" in ref_name:
+                    ref_name = ref_name.split("\n")[0]
+                break
+        reads = {"_".join(r.split("_")[:-2]) for r in supplemented_clusters[allele]}
+        final[f"{allele};{ref_name}"] = list(reads)
+    with open(os.path.join(output_dir, "reads_per_amr_gene.json"), "w") as o:
+        o.write(json.dumps(final))
+
+
+def write_pandora_gene_calls(output_dir, gene_position_dict, annotatedReads, outfile_1, outfile_2):
+    with open(outfile_1, "w") as o:
+        o.write(json.dumps(annotatedReads))
+    with open(outfile_2, "w") as o:
+        o.write(json.dumps(gene_position_dict))

@@ -1,0 +1,136 @@
+"""Synthetic isolate generator for end-to-end pipeline tests.
+
+Builds a gene-space genome with nucleotide sequences, simulates noisy ONT
+reads annotated with per-read gene calls + positions (the pandora JSON
+contract), and writes the species asset files (allele FASTA, phenotype JSON,
+core/plasmid gene lists)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import numpy as np
+
+
+def random_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def mutate(rng, seq, sub=0.03, indel=0.02):
+    out = []
+    for ch in seq:
+        r = rng.rand()
+        if r < sub:
+            out.append(rng.choice([c for c in "ACGT" if c != ch]))
+        elif r < sub + indel / 2:
+            continue
+        elif r < sub + indel:
+            out.append(ch)
+            out.append(rng.choice(list("ACGT")))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def revcomp(seq):
+    return seq.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def make_isolate(
+    tmpdir,
+    seed=0,
+    n_reads=60,
+    genes_per_read=(3, 6),
+    gene_len=500,
+    amr_genes=("amrX",),
+    layout=None,
+    sub=0.02,
+    indel=0.01,
+    reverse_fraction=0.3,
+):
+    """Returns dict of file paths: calls, positions, fastq, amr_fasta,
+    amr_calls, core_genes, plasmid_genes, plus ground truth."""
+    rng = np.random.RandomState(seed)
+    if layout is None:
+        layout = ["geneA", "geneB", "geneC", "amrX", "geneD", "geneE", "geneF", "geneG"]
+    gene_seqs = {
+        g: random_seq(rng, gene_len) for g in set(layout) | set(amr_genes)
+    }
+    n_genes = len(layout)
+    lo, hi = genes_per_read
+    calls, positions, fastq = {}, {}, {}
+    for i in range(n_reads):
+        span = min(rng.randint(lo, hi + 1), n_genes)
+        start = rng.randint(0, n_genes - span + 1)
+        sub_layout = layout[start : start + span]
+        noisy_parts = [mutate(rng, gene_seqs[g], sub, indel) for g in sub_layout]
+        read_genes = [f"+{g}" for g in sub_layout]
+        pos = []
+        cursor = 0
+        for p in noisy_parts:
+            pos.append((cursor, cursor + len(p) - 1))
+            cursor += len(p)
+        seq = "".join(noisy_parts)
+        if rng.rand() < reverse_fraction:
+            seq = revcomp(seq)
+            L = len(seq)
+            read_genes = [
+                ("-" if g[0] == "+" else "+") + g[1:] for g in reversed(read_genes)
+            ]
+            pos = [(L - 1 - e, L - 1 - s) for (s, e) in reversed(pos)]
+        rid = f"read{i}"
+        calls[rid] = read_genes
+        positions[rid] = pos
+        fastq[rid] = {"sequence": seq, "quality": "I" * len(seq)}
+
+    os.makedirs(tmpdir, exist_ok=True)
+    calls_path = os.path.join(tmpdir, "calls.json")
+    pos_path = os.path.join(tmpdir, "positions.json")
+    fastq_path = os.path.join(tmpdir, "reads.fastq.gz")
+    with open(calls_path, "w") as o:
+        json.dump(calls, o)
+    with open(pos_path, "w") as o:
+        json.dump(positions, o)
+    with gzip.open(fastq_path, "wt") as o:
+        for rid, v in fastq.items():
+            o.write(f"@{rid}\n{v['sequence']}\n+\n{v['quality']}\n")
+
+    # species assets: for each AMR gene, the true allele + a diverged variant
+    fasta_lines = []
+    amr_calls = {}
+    for g in amr_genes:
+        true_allele = f"{g}.NG001.1"
+        var_allele = f"{g}.NG002.1"
+        fasta_lines.append(f">{g};{true_allele}")
+        fasta_lines.append(gene_seqs[g])
+        variant = mutate(rng, gene_seqs[g], sub=0.03, indel=0.0)
+        fasta_lines.append(f">{g};{var_allele}")
+        fasta_lines.append(variant)
+        amr_calls[true_allele] = f"{g} reference phenotype"
+        amr_calls[var_allele] = f"{g} variant phenotype"
+    amr_fasta = os.path.join(tmpdir, "AMR_alleles_unified.fa")
+    with open(amr_fasta, "w") as o:
+        o.write("\n".join(fasta_lines))
+    amr_calls_path = os.path.join(tmpdir, "AMR_calls.json")
+    with open(amr_calls_path, "w") as o:
+        json.dump(amr_calls, o)
+    core_path = os.path.join(tmpdir, "core_genes.txt")
+    with open(core_path, "w") as o:
+        o.write("\n".join(g for g in set(layout) if g not in amr_genes))
+    plasmid_path = os.path.join(tmpdir, "plasmid_genes.txt")
+    with open(plasmid_path, "w") as o:
+        o.write("")
+    return {
+        "calls": calls_path,
+        "positions": pos_path,
+        "fastq": fastq_path,
+        "amr_fasta": amr_fasta,
+        "amr_calls": amr_calls_path,
+        "core_genes": core_path,
+        "plasmid_genes": plasmid_path,
+        "gene_seqs": gene_seqs,
+        "layout": layout,
+        "n_reads": n_reads,
+    }
