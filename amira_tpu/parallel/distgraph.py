@@ -1,0 +1,135 @@
+"""Data-parallel gene-mer graph statistics over a device mesh.
+
+The reference's only distribution story is joblib shard-merge on one host
+(amira/graph_utils.py:17-124): per-shard graphs are built and node coverages
+added, edges unioned, read tables unioned. Here the same merge semantics run
+as XLA collectives: every device builds a bounded count table (sorted unique
+hashes + segment-summed coverages) for its read shard, the tables are
+all-gathered over the `data` mesh axis, and a second bounded count merges
+them — so gene-mer counting scales over ICI/DCN without any host round-trip.
+
+This module provides the device-side table kernels (also used single-chip by
+bench.py) and the shard_map-based distributed step used by
+__graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amira_tpu.ops.hashing import edge_key, genemer_windows
+
+P = jax.sharding.PartitionSpec
+
+
+def bounded_count(keys, weights, capacity: int):
+    """Sorted unique keys + summed weights with a static output capacity.
+
+    keys:     (N,) uint64 (0 = invalid/padding, excluded from the table)
+    weights:  (N,) int32
+    Returns (table_keys, table_counts): (capacity,) each; unused slots hold
+    key 0 / count 0. Requires #unique <= capacity (overflow slots are
+    dropped deterministically from the end of the sorted order).
+    """
+    n = keys.shape[0]
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    sw = weights[order]
+    valid = sk != 0
+    boundary = jnp.concatenate(
+        [valid[:1], (sk[1:] != sk[:-1]) & valid[1:]]
+    )
+    run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # -1 for invalid prefix
+    run_id = jnp.where(valid, run_id, capacity)  # invalid -> overflow slot
+    run_id = jnp.minimum(run_id, capacity)
+    counts = jax.ops.segment_sum(
+        jnp.where(valid, sw, 0), run_id, num_segments=capacity + 1
+    )[:capacity]
+    table_keys = jnp.zeros((capacity + 1,), dtype=keys.dtype)
+    table_keys = table_keys.at[jnp.where(boundary, run_id, capacity)].set(
+        jnp.where(boundary, sk, 0)
+    )[:capacity]
+    return table_keys, counts.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "capacity"))
+def local_genemer_tables(tokens, lengths, k: int, capacity: int):
+    """Per-shard node and edge count tables from a padded read batch."""
+    win = genemer_windows(tokens, lengths, k)
+    nh = jnp.where(win["valid"], win["node_hash"], 0)
+    node_keys, node_counts = bounded_count(
+        nh.reshape(-1), jnp.ones(nh.size, jnp.int32), capacity
+    )
+    nd = win["direction"]
+    if nh.shape[1] >= 2:
+        src_h, tgt_h = win["node_hash"][:, :-1], win["node_hash"][:, 1:]
+        src_d, tgt_d = nd[:, :-1], nd[:, 1:]
+        ev = win["valid"][:, :-1] & win["valid"][:, 1:]
+        e1 = jnp.where(ev, edge_key(src_h, src_d, tgt_h, tgt_d), 0)
+        e2 = jnp.where(ev, edge_key(tgt_h, -tgt_d, src_h, -src_d), 0)
+        ekeys = jnp.concatenate([e1.reshape(-1), e2.reshape(-1)])
+    else:
+        ekeys = jnp.zeros((2,), jnp.uint64)
+    edge_keys, edge_counts = bounded_count(
+        ekeys, jnp.ones(ekeys.shape[0], jnp.int32), capacity
+    )
+    return node_keys, node_counts, edge_keys, edge_counts
+
+
+def make_distributed_genemer_step(mesh, k: int, capacity: int):
+    """Build the jitted multi-chip step: reads sharded over the `data` axis,
+    per-shard tables merged via all_gather + re-count (the collective
+    equivalent of the reference's merge_nodes/merge_edges coverage adds)."""
+    shard_map = jax.shard_map
+
+    def shard_step(tokens, lengths):
+        win = genemer_windows(tokens, lengths, k)
+        nh = jnp.where(win["valid"], win["node_hash"], 0)
+        local_keys, local_counts = bounded_count(
+            nh.reshape(-1), jnp.ones(nh.size, jnp.int32), capacity
+        )
+        # merge shard tables over ICI: gather every shard's table, re-count
+        all_keys = jax.lax.all_gather(local_keys, "data").reshape(-1)
+        all_counts = jax.lax.all_gather(local_counts, "data").reshape(-1)
+        merged_keys, merged_counts = bounded_count(all_keys, all_counts, capacity)
+        # total gene-mer occurrences across the slice (psum sanity statistic)
+        total = jax.lax.psum(
+            jnp.sum(jnp.where(win["valid"], 1, 0)), "data"
+        )
+        return merged_keys, merged_counts, total
+
+    step = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(Pspec_data(), Pspec_data()),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(step)
+
+
+def Pspec_data():
+    return P("data")
+
+
+def distributed_node_counts(read_tokens: np.ndarray, lengths: np.ndarray, k: int, mesh, capacity: int = 1 << 16):
+    """Host entry: shard (R, L) reads over the mesh's data axis, run the
+    collective count step, return the merged (hashes, counts) table."""
+    n_dev = mesh.devices.size
+    R = read_tokens.shape[0]
+    pad = (-R) % n_dev
+    if pad:
+        read_tokens = np.vstack(
+            [read_tokens, np.zeros((pad, read_tokens.shape[1]), read_tokens.dtype)]
+        )
+        lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
+    step = make_distributed_genemer_step(mesh, k, capacity)
+    sharding = jax.sharding.NamedSharding(mesh, P("data"))
+    tokens_sharded = jax.device_put(read_tokens, sharding)
+    lengths_sharded = jax.device_put(lengths, sharding)
+    keys, counts, total = step(tokens_sharded, lengths_sharded)
+    return np.asarray(keys), np.asarray(counts), int(np.asarray(total).reshape(-1)[0])
