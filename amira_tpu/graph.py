@@ -209,12 +209,18 @@ class GeneMerGraph:
         # ---- length-bucketed kernel launches: reads are grouped by
         # next-power-of-two gene count so the device never pays for padding
         # beyond 2x, and jit compiles once per (k, L_bucket, R_bucket).
+        # Kernel outputs stay on device; the sort/unique/segment table
+        # assembly (amira_tpu/ops/graph_tables.py) runs there too, and only
+        # boundary-masked tables come back to the host.
+        from amira_tpu.ops.graph_tables import (
+            assemble_edge_tables,
+            assemble_node_tables,
+            bucket_occurrences,
+        )
+
         order_by_len = np.argsort(kept_len, kind="stable")
-        occ_hash_parts, occ_dir_parts, occ_read_parts, occ_w_parts = [], [], [], []
-        occ_tok_parts = []  # observed window tokens (N_occ, k) for canonical extraction
-        e_parts = []  # (keys, src_h, tgt_h, sd, td) per bucket
-        read_win_hash: dict[int, np.ndarray] = {}
-        read_win_dir: dict[int, np.ndarray] = {}
+        dev_parts = []  # per-bucket device arrays
+        host_win = {}  # per-bucket (rows sel, host hash/dir matrices)
         i = 0
         while i < len(order_by_len):
             lb = _bucket(int(kept_len[order_by_len[i]]))
@@ -231,147 +237,111 @@ class GeneMerGraph:
                     [tokens, np.zeros((n_pad, lb), dtype=np.int32)]
                 )
                 klengths = np.concatenate([klengths, np.zeros(n_pad, np.int32)])
-            nh, nd, valid, e_fwd, e_rev, e_valid = _graph_kernel(tokens, klengths, k)
-            nh = np.asarray(nh)
-            nd = np.asarray(nd)
-            valid = np.asarray(valid)
-            windows = _sliding_windows(tokens, k)  # (R, W, k) view
-            r_idx, w_idx = np.nonzero(valid)
-            occ_hash_parts.append(nh[r_idx, w_idx])
-            occ_dir_parts.append(nd[r_idx, w_idx].astype(np.int64))
-            occ_read_parts.append(sel[r_idx])
-            occ_w_parts.append(w_idx.astype(np.int32))
-            occ_tok_parts.append(windows[r_idx, w_idx])
+            sel_arr = np.full(len(btoks) + n_pad, -1, dtype=np.int32)
+            sel_arr[: len(btoks)] = sel
+            out = bucket_occurrences(tokens, klengths, sel_arr, k)
+            dev_parts.append(out)
+            host_win[lb] = (sel, out[0], out[1], lb - k + 1)
+
+        occ_hash = jnp.concatenate([p[0] for p in dev_parts])
+        occ_dir = jnp.concatenate([p[1] for p in dev_parts])
+        occ_read = jnp.concatenate([p[2] for p in dev_parts])
+        occ_key = jnp.concatenate([p[3] for p in dev_parts])
+        ekeys = jnp.concatenate([p[4] for p in dev_parts])
+        eokey = jnp.concatenate([p[5] for p in dev_parts])
+        sh, boundary, run_key, run_cov, pboundary, pair_run, pair_read = (
+            assemble_node_tables(occ_hash, occ_read, occ_key, len(kept_ids))
+        )
+        esk, eboundary, ecov, eokey_s = assemble_edge_tables(ekeys, eokey)
+
+        # ---- per-read window hash/direction arrays (host views)
+        win_hash = {}
+        win_dir = {}
+        for lb, (sel, dev_h, dev_d, W) in host_win.items():
+            hh = np.asarray(dev_h).reshape(-1, W)
+            dd = np.asarray(dev_d).reshape(-1, W)
             for row, s in enumerate(sel):
                 w = int(kept_len[s]) - (k - 1)
-                read_win_hash[s] = nh[row, :w]
-                read_win_dir[s] = nd[row, :w]
-            er_idx, ew_idx = np.nonzero(np.asarray(e_valid))
-            if len(er_idx):
-                e_fwd = np.asarray(e_fwd)
-                e_rev = np.asarray(e_rev)
-                src_h = nh[er_idx, ew_idx]
-                tgt_h = nh[er_idx, ew_idx + 1]
-                src_d = nd[er_idx, ew_idx].astype(np.int64)
-                tgt_d = nd[er_idx, ew_idx + 1].astype(np.int64)
-                e_parts.append(
-                    (
-                        e_fwd[er_idx, ew_idx],
-                        e_rev[er_idx, ew_idx],
-                        src_h,
-                        tgt_h,
-                        src_d,
-                        tgt_d,
-                    )
-                )
-
-        occ_hash = np.concatenate(occ_hash_parts)
-        occ_dir = np.concatenate(occ_dir_parts)
-        occ_read = np.concatenate(occ_read_parts)
-        occ_tokens = np.concatenate(occ_tok_parts)
-        # canonical order: by read index then window index, so node/read
-        # insertion order matches the reference's read-major iteration
-        occ_w = np.concatenate(occ_w_parts)
-        occ_sort = np.lexsort((occ_w, occ_read))
-        occ_hash = occ_hash[occ_sort]
-        occ_dir = occ_dir[occ_sort]
-        occ_read = occ_read[occ_sort]
-        occ_tokens = occ_tokens[occ_sort]
-
-        # per-read node/direction/position lists
+                win_hash[int(s)] = hh[row, :w]
+                win_dir[int(s)] = dd[row, :w]
         has_pos = self._genePositions is not None
         for s, rid in enumerate(kept_ids):
-            wh = read_win_hash[s]
-            wd = read_win_dir[s]
-            self._readNodes[rid] = [int(h) for h in wh]
-            self._readNodeDirections[rid] = [int(d) for d in wd]
+            wh = win_hash[s]
+            self._readNodes[rid] = wh.tolist()
+            self._readNodeDirections[rid] = win_dir[s].tolist()
             if has_pos:
                 pos = self._genePositions[rid]
                 self._readNodePositions[rid] = [
-                    (pos[j][0], pos[j + k - 1][1]) for j in range(len(wh))
+                    (pos[j2][0], pos[j2 + k - 1][1]) for j2 in range(len(wh))
                 ]
             else:
                 self._readNodePositions[rid] = [None] * len(wh)
 
-        # ---- node table: group occurrences by hash
-        order = np.argsort(occ_hash, kind="stable")
-        sorted_hash = occ_hash[order]
-        uniq_mask = np.ones(len(sorted_hash), dtype=bool)
-        uniq_mask[1:] = sorted_hash[1:] != sorted_hash[:-1]
-        group_starts = np.nonzero(uniq_mask)[0]
-        group_ends = np.append(group_starts[1:], len(sorted_hash))
-        # first occurrence (in read-major order) of each unique hash
-        first_occ = np.minimum.reduceat(order, group_starts)
-        # preserve reference insertion order: nodes appear in first-occurrence order
-        node_order = np.argsort(first_occ, kind="stable")
-        for gi in node_order:
-            s, e = group_starts[gi], group_ends[gi]
-            h = int(sorted_hash[s])
-            fo = int(first_occ[gi])
-            wtok = occ_tokens[fo].astype(np.int32)
-            # direction of the first occurrence orients canonical extraction
-            canon = wtok if int(occ_dir[fo]) == 1 else reverse_tokens(wtok)
-            node = Node(h, np.ascontiguousarray(canon))
-            node.coverage = int(e - s)
-            self._nodes[h] = node
+        # ---- node table
+        boundary = np.asarray(boundary)
+        bidx = np.nonzero(boundary)[0]
+        sh = np.asarray(sh)
+        node_hashes = sh[bidx]
+        node_covs = np.asarray(run_cov)[bidx]
+        node_keys = np.asarray(run_key)[bidx]
+        first_read = (node_keys >> 22).astype(np.int64)
+        first_w = ((node_keys >> 1) & ((1 << 21) - 1)).astype(np.int64)
+        nodes_in_run_order = []
+        for gi in range(len(bidx)):
+            ri, wi = int(first_read[gi]), int(first_w[gi])
+            wtok = kept_tok[ri][wi : wi + k]
+            d_first = int(win_dir[ri][wi])
+            canon = wtok if d_first == 1 else reverse_tokens(wtok)
+            node = Node(int(node_hashes[gi]), np.ascontiguousarray(canon))
+            node.coverage = int(node_covs[gi])
+            nodes_in_run_order.append(node)
+        # insertion order = first-occurrence order (reference read-major)
+        for gi in np.argsort(node_keys, kind="stable"):
+            node = nodes_in_run_order[gi]
+            self._nodes[node.hash] = node
 
-        # reads per node, in first-occurrence order within each node
-        for oi in range(len(occ_hash)):
-            node = self._nodes[int(occ_hash[oi])]
-            rid = kept_ids[int(occ_read[oi])]
-            if rid not in node._read_set:
-                node._read_set.add(rid)
-                node.reads.append(rid)
+        # ---- reads per node
+        pboundary = np.asarray(pboundary)
+        pidx = np.nonzero(pboundary)[0]
+        prun = np.asarray(pair_run)[pidx]
+        pread = np.asarray(pair_read)[pidx]
+        kept_arr = np.array(kept_ids, dtype=object)
+        read_objs = kept_arr[pread]
+        bounds = np.searchsorted(prun, np.arange(len(bidx) + 1))
+        for gi in range(len(bidx)):
+            node = nodes_in_run_order[gi]
+            rids = read_objs[bounds[gi] : bounds[gi + 1]].tolist()
+            node.reads = rids
+            node._read_set = set(rids)
 
-        # ---- edge table
-        if e_parts:
-            fwd_keys = np.concatenate([p[0] for p in e_parts])
-            rev_keys = np.concatenate([p[1] for p in e_parts])
-            src_h = np.concatenate([p[2] for p in e_parts])
-            tgt_h = np.concatenate([p[3] for p in e_parts])
-            src_d = np.concatenate([p[4] for p in e_parts])
-            tgt_d = np.concatenate([p[5] for p in e_parts])
-            # fwd edge: (src, sd) -> (tgt, td); companion: (tgt, -td) -> (src, -sd)
-            n = len(fwd_keys)
-            all_keys = np.empty(2 * n, dtype=fwd_keys.dtype)
-            all_src = np.empty(2 * n, dtype=src_h.dtype)
-            all_tgt = np.empty(2 * n, dtype=tgt_h.dtype)
-            all_sd = np.empty(2 * n, dtype=np.int64)
-            all_td = np.empty(2 * n, dtype=np.int64)
-            all_keys[0::2], all_keys[1::2] = fwd_keys, rev_keys
-            all_src[0::2], all_src[1::2] = src_h, tgt_h
-            all_tgt[0::2], all_tgt[1::2] = tgt_h, src_h
-            all_sd[0::2], all_sd[1::2] = src_d, -tgt_d
-            all_td[0::2], all_td[1::2] = tgt_d, -src_d
-
-            eorder = np.argsort(all_keys, kind="stable")
-            skeys = all_keys[eorder]
-            emask = np.ones(len(skeys), dtype=bool)
-            emask[1:] = skeys[1:] != skeys[:-1]
-            estarts = np.nonzero(emask)[0]
-            eends = np.append(estarts[1:], len(skeys))
-            efirst = np.minimum.reduceat(eorder, estarts)
-            e_insert = np.argsort(efirst, kind="stable")
-            for gi in e_insert:
-                s, e = estarts[gi], eends[gi]
-                fo = int(efirst[gi])
-                key = int(skeys[s])
-                edge = Edge(
-                    key,
-                    int(all_src[fo]),
-                    int(all_tgt[fo]),
-                    int(all_sd[fo]),
-                    int(all_td[fo]),
-                )
-                edge.coverage = int(e - s)
+        # ---- edge table (endpoints reconstructed from the first-occurrence
+        # order key: read index, window, fwd/rev slot)
+        eboundary = np.asarray(eboundary)
+        eidx = np.nonzero(eboundary)[0]
+        if len(eidx):
+            ekey_vals = np.asarray(esk)[eidx]
+            ecov_vals = np.asarray(ecov)[eidx]
+            eokey_vals = np.asarray(eokey_s)[eidx]
+            e_read = (eokey_vals >> 22).astype(np.int64)
+            e_w = ((eokey_vals >> 1) & ((1 << 21) - 1)).astype(np.int64)
+            e_rev = (eokey_vals & 1).astype(bool)
+            for gi in np.argsort(eokey_vals, kind="stable"):
+                ri, wi = int(e_read[gi]), int(e_w[gi])
+                wh = win_hash[ri]
+                wd = win_dir[ri]
+                src_h, tgt_h = int(wh[wi]), int(wh[wi + 1])
+                src_d, tgt_d = int(wd[wi]), int(wd[wi + 1])
+                if e_rev[gi]:
+                    src_h, tgt_h = tgt_h, src_h
+                    src_d, tgt_d = -tgt_d, -src_d
+                key = int(ekey_vals[gi])
+                edge = Edge(key, src_h, tgt_h, src_d, tgt_d)
+                edge.coverage = int(ecov_vals[gi])
                 self._edges[key] = edge
-                src_node = self._nodes[edge.src]
-                if edge.src_dir == 1:
-                    if key not in src_node.fwd_edges:
-                        src_node.fwd_edges.append(key)
-                else:
-                    if key not in src_node.bwd_edges:
-                        src_node.bwd_edges.append(key)
+                src_node = self._nodes[src_h]
+                lst = src_node.fwd_edges if src_d == 1 else src_node.bwd_edges
+                if key not in lst:
+                    lst.append(key)
 
         self.assign_component_ids()
 
@@ -485,6 +455,10 @@ class GeneMerGraph:
             if any(int(a) in gids for a in np.abs(node.tokens)):
                 amr[node.hash] = node
         return amr
+
+    def get_nodes_with_degree(self, degree: int):
+        assert isinstance(degree, int), "The input degree must be an integer."
+        return [n for n in self.all_nodes() if self.get_degree(n) == degree]
 
     # -------------------------------------------------------------- topology
 
@@ -993,6 +967,211 @@ class GeneMerGraph:
             node.color = 1
         else:
             node.color = 2
+
+    # ---------------------------------------------- subgraph path utilities
+
+    def create_adjacency_matrix(self, nodeHashesOfInterest):
+        """Dense 0/1 adjacency over a node subset
+        (construct_graph.py:974-983)."""
+        size = len(nodeHashesOfInterest)
+        matrix = np.zeros((size, size), dtype=int)
+        node_index = {n: i for i, n in enumerate(nodeHashesOfInterest)}
+        for h in nodeHashesOfInterest:
+            node = self._nodes[h]
+            for nb in self.get_all_neighbor_hashes(node):
+                if nb in node_index:
+                    matrix[node_index[h], node_index[nb]] = 1
+        return matrix
+
+    def find_paths(self, matrix, start, end, path=None):
+        """All simple paths in a dense adjacency matrix
+        (construct_graph.py:985-995), iteratively."""
+        results = []
+        stack = [[start]]
+        while stack:
+            p = stack.pop()
+            if p[-1] == end:
+                results.append(p)
+                continue
+            for neighbor, connected in enumerate(matrix[p[-1]]):
+                if connected and neighbor not in p:
+                    stack.append(p + [neighbor])
+        return results
+
+    def all_paths_for_subgraph(self, nodeHashesOfInterest, anchor_nodes):
+        """(construct_graph.py:997-1021)"""
+        matrix = self.create_adjacency_matrix(nodeHashesOfInterest)
+        paths: dict = {}
+        for i in range(len(nodeHashesOfInterest)):
+            for j in range(len(nodeHashesOfInterest)):
+                si, sj = sorted([i, j])
+                pair = (nodeHashesOfInterest[si], nodeHashesOfInterest[sj])
+                if (
+                    i != j
+                    and pair not in paths
+                    and nodeHashesOfInterest[i] in anchor_nodes
+                    and nodeHashesOfInterest[j] in anchor_nodes
+                ):
+                    found = [
+                        [nodeHashesOfInterest[x] for x in p]
+                        for p in self.find_paths(matrix, si, sj)
+                    ]
+                    if found:
+                        paths[pair] = found
+        return paths
+
+    def get_anchors_of_interest(self, nodeHashesOfInterest):
+        """Anchor/junction split of a node subset
+        (construct_graph.py:1023-1043)."""
+        nodeAnchors, nodeJunctions = set(), set()
+        subset = set(nodeHashesOfInterest)
+        for h in nodeHashesOfInterest:
+            node = self._nodes[h]
+            fwd_in = [n for n in self.get_forward_neighbors(node) if n.hash in subset]
+            bwd_in = [n for n in self.get_backward_neighbors(node) if n.hash in subset]
+            if len(bwd_in) == 0 or len(fwd_in) == 0:
+                nodeAnchors.add(h)
+            if (
+                len(self.get_backward_neighbors(node)) > 1
+                or len(self.get_forward_neighbors(node)) > 1
+            ):
+                nodeJunctions.add(h)
+        return nodeAnchors, nodeJunctions
+
+    # ------------------------------------------- read-intersection trimming
+
+    def make_intersection_matrix(self):
+        """Pairwise read-set intersection counts over all nodes
+        (construct_graph.py:2571-2589), vectorized via a node x read
+        incidence matrix."""
+        node_hashes = list(self._nodes.keys())
+        read_ids = {r: i for i, r in enumerate(self._reads.keys())}
+        inc = np.zeros((len(node_hashes), len(read_ids)), dtype=np.int32)
+        for i, h in enumerate(node_hashes):
+            for r in self._nodes[h].reads:
+                if r in read_ids:
+                    inc[i, read_ids[r]] = 1
+        matrix = inc @ inc.T
+        return matrix.tolist(), node_hashes
+
+    def trim_fringe_nodes(self, number_of_intersecting_reads, intersection_matrix, node_hashes):
+        """Remove nodes whose read overlap with every node is below the
+        threshold (construct_graph.py:2618-2627)."""
+        doomed = []
+        for i, h in enumerate(node_hashes):
+            if all(v < number_of_intersecting_reads for v in intersection_matrix[i]):
+                doomed.append(self._nodes[h])
+        for node in doomed:
+            self.remove_node(node)
+        return self
+
+    def get_node_with_highest_subthreshold_connections(self, matrix, threshold):
+        """(construct_graph.py:2591-2602)"""
+        highest = -1
+        node_index = None
+        for i, row in enumerate(matrix):
+            if not np.any(np.isnan(row)):
+                count = int(np.sum(np.asarray(row) < threshold))
+                if count > highest:
+                    highest = count
+                    node_index = i
+        return node_index
+
+    def filter_nodes_by_intersection(self, matrix, node_hashes, threshold=5):
+        """(construct_graph.py:2604-2616)"""
+        matrix = np.array(matrix, dtype=float)
+        while True:
+            lowest = self.get_node_with_highest_subthreshold_connections(
+                matrix, threshold
+            )
+            if lowest is None:
+                break
+            matrix[lowest, :] = np.nan
+            matrix[:, lowest] = np.nan
+        return
+
+    # -------------------------------------- sketch-based cluster merging
+
+    def new_get_minhashes_for_paths(self, pathsOfInterest, fastq_dict):
+        """Per-path read-subsequence sketches (construct_graph.py:2457-2472)."""
+        from amira_tpu.sketch import MinHash
+
+        path_minhashes = {}
+        for path in pathsOfInterest:
+            mh = MinHash(ksize=9, scaled=1)
+            for read_id in pathsOfInterest[path]:
+                read = "_".join(read_id.split("_")[:-2])
+                start = int(read_id.split("_")[-2])
+                end = int(read_id.split("_")[-1])
+                mh.add_sequence(
+                    fastq_dict[read]["sequence"][start : end + 1]
+                )
+            path_minhashes[path] = mh
+        return path_minhashes
+
+    def assess_connectivity(self, pathsOfInterest, minhash_for_paths, threshold):
+        """(construct_graph.py:2515-2533)"""
+        cluster_pairs: dict = {}
+        keys = list(pathsOfInterest.keys())
+        for i, p1 in enumerate(keys):
+            cluster_pairs.setdefault(p1, set())
+            for j in range(i + 1, len(keys)):
+                p2 = keys[j]
+                containment = max(
+                    minhash_for_paths[p1].contained_by(minhash_for_paths[p2]),
+                    minhash_for_paths[p2].contained_by(minhash_for_paths[p1]),
+                )
+                if containment >= threshold:
+                    cluster_pairs[p1].add(p2)
+                    cluster_pairs.setdefault(p2, set()).add(p1)
+        return cluster_pairs
+
+    def cluster_paths(self, clusters):
+        """Union-find over the connectivity dict
+        (construct_graph.py:2474-2513)."""
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for node in clusters:
+            parent.setdefault(node, node)
+            for connected in clusters[node]:
+                parent.setdefault(connected, connected)
+        for node in clusters:
+            for connected in clusters[node]:
+                ra, rb = find(node), find(connected)
+                if ra != rb:
+                    parent[rb] = ra
+        result: dict = {}
+        for node in parent:
+            result.setdefault(find(node), set()).add(node)
+        return result
+
+    def merge_read_clusters(self, merged_paths, pathsOfInterest):
+        merged: dict = {}
+        for cluster in merged_paths:
+            merged[cluster] = set()
+            for path in merged_paths[cluster]:
+                merged[cluster].update(pathsOfInterest[path])
+        return merged
+
+    def new_merge_clusters(self, pathsOfInterest, fastq_dict):
+        """Merge path clusters whose sketches are >= 0.85 contained
+        (construct_graph.py:2544-2563)."""
+        minhash_for_paths = self.new_get_minhashes_for_paths(
+            pathsOfInterest, fastq_dict
+        )
+        cluster_pairs = self.assess_connectivity(
+            pathsOfInterest, minhash_for_paths, 0.85
+        )
+        merged_paths = self.cluster_paths(cluster_pairs)
+        return self.merge_read_clusters(merged_paths, pathsOfInterest)
 
     # ------------------------------------------------------- AMR-read trim
 

@@ -131,6 +131,26 @@ def parse_sam(sam_path):
             yield SamRecord(fields)
 
 
+def downsample_reads(fastq_content, read_path, output_dir, max_reads=100000, seed=None):
+    """Random subsample of the FASTQ to max_reads, written to
+    subsampled_reads.fq.gz (read_utils.py:55-73; the `fastaq filter`
+    subprocess is replaced by the in-process writer)."""
+    import random
+
+    total_reads = len(fastq_content)
+    if total_reads <= max_reads:
+        selected = list(fastq_content.keys())
+    else:
+        rng = random.Random(seed)
+        selected = rng.sample(list(fastq_content.keys()), max_reads)
+        fastq_content = {k: fastq_content[k] for k in selected}
+    with open(os.path.join(output_dir, "selected_reads.txt"), "w") as o:
+        o.write("\n".join(selected))
+    out_path = os.path.join(output_dir, "subsampled_reads.fq.gz")
+    write_fastq(out_path, fastq_content)
+    return out_path
+
+
 def write_modified_fastq(fastq_content, read_path, output_dir):
     """Ensure a gzipped copy of the input FASTQ exists
     (read_utils.py:76-82)."""

@@ -1,0 +1,145 @@
+"""Device-side graph table assembly.
+
+The gene-mer graph's node/edge/coverage/read-incidence tables are grouped
+sort/unique/segment computations over ~10^6 window occurrences. On a weak
+host these gathers dominate the build, so they run on the accelerator: the
+per-bucket window kernels leave their outputs on device, the flattened
+occurrence streams are concatenated there, and one jitted assembly pass
+produces hash-grouped occurrence tables, unique (node, read) pair tables and
+edge record tables. Only boundary-masked arrays cross back to the host,
+which materializes the Python-level Node/Edge wrappers from contiguous
+slices.
+
+Ordering: every occurrence carries an order key (read_index, window, 0/1 for
+edge fwd/rev) matching the reference's read-major insertion order
+(construct_graph.py:45-100). Streams are stable-sorted by order key and then
+by hash, so the first slot of every hash run IS the first occurrence and
+boundary slots carry its direction/tokens/endpoints directly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amira_tpu.ops.hashing import edge_key, genemer_windows
+
+UINT_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_WBITS = 22  # window index fits in 21 bits; bit 0 is the edge fwd/rev slot
+
+
+@partial(jax.jit, static_argnames=("k",))
+def bucket_occurrences(tokens, lengths, sel, k: int):
+    """Flattened occurrence + edge-record streams for one length bucket.
+
+    tokens: (R, L) int32 padded signed gene tokens
+    lengths: (R,)
+    sel:    (R,) int32 global read index per row (-1 for padding rows)
+    Returns occurrence arrays of length R*W and edge arrays of length
+    2*R*(W-1); invalid slots carry key UINT_MAX and order key INT64_MAX.
+    """
+    win = genemer_windows(tokens, lengths, k)
+    nh, nd, valid = win["node_hash"], win["direction"], win["valid"]
+    R, W = nh.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    read_idx = sel[rows]
+    okey = (
+        read_idx.astype(jnp.int64) << _WBITS
+    ) | (cols.astype(jnp.int64) << 1)
+    BIGKEY = jnp.int64(2**62)
+    occ_hash = jnp.where(valid, nh, UINT_MAX).reshape(-1)
+    occ_dir = jnp.where(valid, nd, 0).astype(jnp.int8).reshape(-1)
+    occ_read = jnp.where(valid, read_idx, -1).reshape(-1)
+    occ_key = jnp.where(valid, okey, BIGKEY).reshape(-1)
+
+    if W >= 2:
+        src_h, tgt_h = nh[:, :-1], nh[:, 1:]
+        src_d = nd[:, :-1].astype(jnp.int8)
+        tgt_d = nd[:, 1:].astype(jnp.int8)
+        ev = valid[:, :-1] & valid[:, 1:]
+        e1 = jnp.where(ev, edge_key(src_h, src_d, tgt_h, tgt_d), UINT_MAX)
+        e2 = jnp.where(ev, edge_key(tgt_h, -tgt_d, src_h, -src_d), UINT_MAX)
+        ekey1 = jnp.where(ev, okey[:, :-1], BIGKEY)  # fwd slot (bit0 = 0)
+        ekey2 = jnp.where(ev, okey[:, :-1] | 1, BIGKEY)  # rev slot
+
+        def interleave(a, b):
+            return jnp.stack([a.reshape(-1), b.reshape(-1)], -1).reshape(-1)
+
+        ekeys = interleave(e1, e2)
+        eokey = interleave(ekey1, ekey2)
+    else:
+        ekeys = jnp.full((2,), UINT_MAX, jnp.uint64)
+        eokey = jnp.full((2,), BIGKEY, jnp.int64)
+    return occ_hash, occ_dir, occ_read, occ_key, ekeys, eokey
+
+
+@partial(jax.jit, static_argnames=("n_reads",))
+def assemble_node_tables(occ_hash, occ_read, occ_key, n_reads: int):
+    """Hash-grouped occurrence tables + unique (node, read) pair tables.
+
+    Outputs (all length N, boundary-masked):
+      sh:        hash per slot (sorted by (hash, order key))
+      boundary:  True at the first slot of each hash run
+      run_key:   order key of the slot (at boundaries: the first occurrence,
+                 encoding (read_index << 22 | window << 1))
+      run_cov:   run coverage broadcast to every slot
+      pboundary / pair_run / pair_read: unique (node-run, read) pairs, sorted
+                 by (run, read) — read order == first-occurrence order.
+    """
+    N = occ_hash.shape[0]
+    # stable order-key sort, then stable hash sort: within each hash run,
+    # slots are in first-occurrence order
+    o1 = jnp.argsort(occ_key, stable=True)
+    o2 = jnp.argsort(occ_hash[o1], stable=True)
+    perm = o1[o2]
+    sh = occ_hash[perm]
+    valid = sh != UINT_MAX
+    boundary = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), sh[1:] != sh[:-1]]
+    )
+    run_id = jnp.cumsum(boundary.astype(jnp.int64)) - 1
+    seg = jnp.where(valid, run_id, N).astype(jnp.int32)
+    cov = jax.ops.segment_sum(valid.astype(jnp.int32), seg, num_segments=N + 1)
+    run_cov = cov[seg]
+    run_key = occ_key[perm]
+    # unique (node, read) pairs: stable sort by pair id keeps first-occurrence
+    # order within each pair
+    sread = occ_read[perm]
+    pair_key = jnp.where(
+        valid, run_id * jnp.int64(n_reads) + sread, jnp.int64(-1)
+    )
+    po = jnp.argsort(pair_key, stable=True)
+    pk = pair_key[po]
+    pvalid = pk >= 0
+    pboundary = pvalid & jnp.concatenate(
+        [jnp.ones((1,), bool), pk[1:] != pk[:-1]]
+    )
+    pair_run = jnp.where(pvalid, run_id[po], -1).astype(jnp.int32)
+    pair_read = jnp.where(pvalid, sread[po], -1).astype(jnp.int32)
+    return sh, boundary, run_key, run_cov, pboundary, pair_run, pair_read
+
+
+@jax.jit
+def assemble_edge_tables(ekeys, eokey):
+    """Edge-key-grouped tables sorted by (key, order key): boundary slots
+    carry the unique key, its coverage, and first-occurrence order key (from
+    which the host reconstructs the endpoint record)."""
+    N = ekeys.shape[0]
+    o1 = jnp.argsort(eokey, stable=True)
+    o2 = jnp.argsort(ekeys[o1], stable=True)
+    perm = o1[o2]
+    sk = ekeys[perm]
+    valid = sk != UINT_MAX
+    boundary = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+    )
+    run_id = jnp.cumsum(boundary.astype(jnp.int64)) - 1
+    seg = jnp.where(valid, run_id, N).astype(jnp.int32)
+    cov = jax.ops.segment_sum(valid.astype(jnp.int32), seg, num_segments=N + 1)[
+        seg
+    ]
+    return sk, boundary, cov, eokey[perm]

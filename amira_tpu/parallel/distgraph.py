@@ -107,7 +107,7 @@ def make_distributed_genemer_step(mesh, k: int, capacity: int):
         mesh=mesh,
         in_specs=(Pspec_data(), Pspec_data()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)
 

@@ -422,6 +422,10 @@ def run_pipeline(args) -> None:
         for _index, row in result_df.iterrows():
             copy_numbers[row["Amira allele"]] = "N/A"
             mean_depth_per_reference[row["Amira allele"]] = "N/A"
+    if args.assemble_paths is True:
+        from amira_tpu.assembly import assemble_full_length_paths
+
+        assemble_full_length_paths(args.output_dir, args.cores)
     result_df = supplement_result_df(
         result_df, copy_numbers, mean_depth_per_reference, longest_read_lengths,
         args.debug,

@@ -19,6 +19,12 @@ import numpy as np
 from amira_tpu.io import parse_sam
 
 
+def clean_gene(g: str) -> str:
+    """Strip punctuation from a gene name (pre_processing.py:38-41)."""
+    chars_to_remove = set("|()-*+#:=/,'")
+    return "".join(ch for ch in g if ch not in chars_to_remove)
+
+
 def process_pandora_json(pandoraJSON, genesOfInterest, gene_positions):
     """JSON ingestion: keep reads containing AMR genes
     (pre_processing.py:44-63)."""
