@@ -191,7 +191,9 @@ class GeneMerGraph:
         read_ids = list(self._reads.keys())
         if not read_ids:
             return
-        tok_list = [self.vocab.encode_read(self._reads[r]) for r in read_ids]
+        tok_list = self.vocab.encode_reads_batch(
+            [self._reads[r] for r in read_ids]
+        )
         lengths = np.asarray([len(t) for t in tok_list], dtype=np.int32)
 
         # short reads (< k genes) contribute nothing to the graph

@@ -19,7 +19,21 @@ def _open_maybe_gzip(path, mode="rt"):
 
 
 def parse_fastq(fastq_file) -> dict:
-    """{read_id: {"sequence": str, "quality": str}} (read_utils.py:24-30)."""
+    """{read_id: {"sequence": str, "quality": str}} (read_utils.py:24-30).
+
+    Uses the native zlib-streamed parser when available."""
+    from amira_tpu.native import load as _load_native
+
+    native = _load_native()
+    if native is not None:
+        try:
+            raw = native.parse_fastq(str(fastq_file))
+            return {
+                name: {"sequence": sq[0], "quality": sq[1]}
+                for name, sq in raw.items()
+            }
+        except Exception:
+            pass
     out = {}
     with _open_maybe_gzip(fastq_file) as fh:
         while True:

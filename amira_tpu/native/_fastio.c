@@ -1,0 +1,270 @@
+/* Native host-runtime kernels for amira-tpu.
+ *
+ * The reference delegates its performance-critical host work to external C/C++
+ * tools; here the host runtime around the TPU compute path is native too:
+ *   - parse_fastq: zlib-streamed FASTQ reader -> {name: (seq, qual)}
+ *   - encode_reads: stranded-gene-string lists -> int32 token arrays using a
+ *     shared vocabulary dict (the hot tokenization step of every graph build)
+ *   - encode_dna: ACGT -> 2-bit codes (255 invalid) into a bytes object
+ *
+ * Built as a CPython extension (no pybind11 in this environment); see
+ * amira_tpu/native/build.py. Python fallbacks live in amira_tpu/io.py and
+ * amira_tpu/vocab.py.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <stdint.h>
+#include <string.h>
+#include <zlib.h>
+
+/* ------------------------------------------------------------------ fastq */
+
+static PyObject *
+parse_fastq(PyObject *self, PyObject *args)
+{
+    const char *path;
+    if (!PyArg_ParseTuple(args, "s", &path))
+        return NULL;
+
+    gzFile fh = gzopen(path, "rb");
+    if (!fh) {
+        PyErr_Format(PyExc_FileNotFoundError, "cannot open %s", path);
+        return NULL;
+    }
+    gzbuffer(fh, 1 << 20);
+
+    PyObject *out = PyDict_New();
+    if (!out) {
+        gzclose(fh);
+        return NULL;
+    }
+
+    size_t cap = 1 << 20;
+    char *buf = (char *)malloc(cap);
+    if (!buf) {
+        gzclose(fh);
+        Py_DECREF(out);
+        return PyErr_NoMemory();
+    }
+
+    int state = 0; /* 0=header 1=seq 2=plus 3=qual */
+    PyObject *name = NULL, *seq = NULL;
+
+    for (;;) {
+        char *line = gzgets(fh, buf, (int)cap);
+        if (!line)
+            break;
+        size_t len = strlen(line);
+        /* grow buffer for very long lines */
+        while (len == cap - 1 && line[len - 1] != '\n') {
+            size_t old = cap;
+            cap *= 2;
+            char *nbuf = (char *)realloc(buf, cap);
+            if (!nbuf)
+                goto fail;
+            buf = nbuf;
+            if (!gzgets(fh, buf + old - 1, (int)(cap - old + 1)))
+                break;
+            line = buf;
+            len = strlen(line);
+        }
+        while (len && (line[len - 1] == '\n' || line[len - 1] == '\r'))
+            line[--len] = 0;
+
+        switch (state) {
+        case 0: {
+            if (len == 0)
+                continue;
+            /* header: "@name ..." -> name token */
+            size_t end = 1;
+            while (end < len && line[end] != ' ' && line[end] != '\t')
+                end++;
+            name = PyUnicode_FromStringAndSize(line + 1, (Py_ssize_t)(end - 1));
+            if (!name)
+                goto fail;
+            state = 1;
+            break;
+        }
+        case 1:
+            seq = PyUnicode_FromStringAndSize(line, (Py_ssize_t)len);
+            if (!seq)
+                goto fail;
+            state = 2;
+            break;
+        case 2:
+            state = 3;
+            break;
+        case 3: {
+            PyObject *qual = PyUnicode_FromStringAndSize(line, (Py_ssize_t)len);
+            if (!qual)
+                goto fail;
+            PyObject *pair = PyTuple_Pack(2, seq, qual);
+            Py_DECREF(qual);
+            if (!pair)
+                goto fail;
+            if (PyDict_SetItem(out, name, pair) < 0) {
+                Py_DECREF(pair);
+                goto fail;
+            }
+            Py_DECREF(pair);
+            Py_CLEAR(name);
+            Py_CLEAR(seq);
+            state = 0;
+            break;
+        }
+        }
+    }
+    free(buf);
+    gzclose(fh);
+    Py_XDECREF(name);
+    Py_XDECREF(seq);
+    return out;
+fail:
+    free(buf);
+    gzclose(fh);
+    Py_XDECREF(name);
+    Py_XDECREF(seq);
+    Py_DECREF(out);
+    return NULL;
+}
+
+/* -------------------------------------------------------------- tokenizer */
+
+/* encode_reads(reads: list[list[str]], name_to_id: dict, next_id: int)
+ *   -> (list[bytes of int32 tokens], new_next_id, new_names: list[str])
+ * Interns unseen gene names into name_to_id (mutated in place). */
+static PyObject *
+encode_reads(PyObject *self, PyObject *args)
+{
+    PyObject *reads, *vocab;
+    long next_id;
+    if (!PyArg_ParseTuple(args, "OOl", &reads, &vocab, &next_id))
+        return NULL;
+    if (!PyList_Check(reads) || !PyDict_Check(vocab)) {
+        PyErr_SetString(PyExc_TypeError, "expected (list, dict, int)");
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(reads);
+    PyObject *out = PyList_New(n);
+    PyObject *new_names = PyList_New(0);
+    if (!out || !new_names)
+        goto fail;
+
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *genes = PyList_GET_ITEM(reads, i);
+        if (!PyList_Check(genes)) {
+            PyErr_SetString(PyExc_TypeError, "reads must be lists of str");
+            goto fail;
+        }
+        Py_ssize_t m = PyList_GET_SIZE(genes);
+        PyObject *arr = PyBytes_FromStringAndSize(NULL, m * 4);
+        if (!arr)
+            goto fail;
+        int32_t *tok = (int32_t *)PyBytes_AS_STRING(arr);
+        for (Py_ssize_t g = 0; g < m; g++) {
+            PyObject *s = PyList_GET_ITEM(genes, g);
+            Py_ssize_t slen;
+            const char *cs = PyUnicode_AsUTF8AndSize(s, &slen);
+            if (!cs || slen < 2) {
+                PyErr_Format(PyExc_ValueError,
+                             "missing strand for gene: %R", s);
+                Py_DECREF(arr);
+                goto fail;
+            }
+            int sign;
+            if (cs[0] == '+')
+                sign = 1;
+            else if (cs[0] == '-')
+                sign = -1;
+            else {
+                PyErr_Format(PyExc_ValueError,
+                             "missing strand for gene: %R", s);
+                Py_DECREF(arr);
+                goto fail;
+            }
+            PyObject *nameobj = PyUnicode_FromStringAndSize(cs + 1, slen - 1);
+            if (!nameobj) {
+                Py_DECREF(arr);
+                goto fail;
+            }
+            PyObject *idobj = PyDict_GetItem(vocab, nameobj); /* borrowed */
+            long gid;
+            if (idobj) {
+                gid = PyLong_AsLong(idobj);
+                Py_DECREF(nameobj);
+            } else {
+                gid = next_id++;
+                PyObject *newid = PyLong_FromLong(gid);
+                if (!newid || PyDict_SetItem(vocab, nameobj, newid) < 0 ||
+                    PyList_Append(new_names, nameobj) < 0) {
+                    Py_XDECREF(newid);
+                    Py_DECREF(nameobj);
+                    Py_DECREF(arr);
+                    goto fail;
+                }
+                Py_DECREF(newid);
+                Py_DECREF(nameobj);
+            }
+            tok[g] = (int32_t)(sign * gid);
+        }
+        PyList_SET_ITEM(out, i, arr);
+    }
+    {
+        PyObject *res = Py_BuildValue("(OlO)", out, next_id, new_names);
+        Py_DECREF(out);
+        Py_DECREF(new_names);
+        return res;
+    }
+fail:
+    Py_XDECREF(out);
+    Py_XDECREF(new_names);
+    return NULL;
+}
+
+/* ------------------------------------------------------------- encode_dna */
+
+static unsigned char BASE_CODE[256];
+
+static PyObject *
+encode_dna_c(PyObject *self, PyObject *args)
+{
+    PyObject *s;
+    if (!PyArg_ParseTuple(args, "U", &s))
+        return NULL;
+    Py_ssize_t len;
+    const char *cs = PyUnicode_AsUTF8AndSize(s, &len);
+    if (!cs)
+        return NULL;
+    PyObject *out = PyBytes_FromStringAndSize(NULL, len);
+    if (!out)
+        return NULL;
+    unsigned char *dst = (unsigned char *)PyBytes_AS_STRING(out);
+    for (Py_ssize_t i = 0; i < len; i++)
+        dst[i] = BASE_CODE[(unsigned char)cs[i]];
+    return out;
+}
+
+static PyMethodDef Methods[] = {
+    {"parse_fastq", parse_fastq, METH_VARARGS,
+     "parse_fastq(path) -> {name: (seq, qual)}"},
+    {"encode_reads", encode_reads, METH_VARARGS,
+     "encode_reads(reads, vocab, next_id) -> (token bytes list, next_id, new_names)"},
+    {"encode_dna", encode_dna_c, METH_VARARGS,
+     "encode_dna(seq) -> bytes of 2-bit codes (255 invalid)"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_fastio", NULL, -1, Methods,
+};
+
+PyMODINIT_FUNC
+PyInit__fastio(void)
+{
+    memset(BASE_CODE, 255, sizeof(BASE_CODE));
+    BASE_CODE['A'] = BASE_CODE['a'] = 0;
+    BASE_CODE['C'] = BASE_CODE['c'] = 1;
+    BASE_CODE['G'] = BASE_CODE['g'] = 2;
+    BASE_CODE['T'] = BASE_CODE['t'] = 3;
+    return PyModule_Create(&moduledef);
+}

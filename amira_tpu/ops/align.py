@@ -141,6 +141,24 @@ _batched_sw = jax.jit(
 )
 
 
+def _select_sw_engine():
+    """XLA scan by default; AMIRA_TPU_SW_ENGINE=pallas selects the Pallas
+    VMEM-resident kernel (ops/pallas_sw.py), =pallas-interpret its
+    interpreter mode (for CPU testing)."""
+    import os
+
+    engine = os.environ.get("AMIRA_TPU_SW_ENGINE", "xla")
+    if engine == "pallas":
+        from amira_tpu.ops.pallas_sw import make_pallas_batched_sw
+
+        return make_pallas_batched_sw(interpret=False)
+    if engine == "pallas-interpret":
+        from amira_tpu.ops.pallas_sw import make_pallas_batched_sw
+
+        return make_pallas_batched_sw(interpret=True)
+    return _batched_sw
+
+
 @dataclass
 class Alignment:
     """A local alignment of query against ref (one SAM record equivalent)."""
@@ -365,7 +383,7 @@ class Aligner:
             rs.append(np.full(rlen, 4, dtype=np.uint8))
             qlens.append(0)
             dlos.append(0)
-        tb, best, bi, bw, bs = _batched_sw(
+        tb, best, bi, bw, bs = _select_sw_engine()(
             np.stack(qs),
             np.stack(rs),
             np.asarray(qlens, np.int32),

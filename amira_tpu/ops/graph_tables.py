@@ -77,6 +77,16 @@ def bucket_occurrences(tokens, lengths, sel, k: int):
     return occ_hash, occ_dir, occ_read, occ_key, ekeys, eokey
 
 
+def _argsort64(x):
+    """Stable argsort of nonnegative 64-bit keys as two native 32-bit stable
+    sorts (low word then high word) — v5e has no native 64-bit sort."""
+    xu = x.astype(jnp.uint64)
+    lo = (xu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (xu >> jnp.uint64(32)).astype(jnp.uint32)
+    o = jnp.argsort(lo, stable=True)
+    return o[jnp.argsort(hi[o], stable=True)]
+
+
 @partial(jax.jit, static_argnames=("n_reads",))
 def assemble_node_tables(occ_hash, occ_read, occ_key, n_reads: int):
     """Hash-grouped occurrence tables + unique (node, read) pair tables.
@@ -93,33 +103,38 @@ def assemble_node_tables(occ_hash, occ_read, occ_key, n_reads: int):
     N = occ_hash.shape[0]
     # stable order-key sort, then stable hash sort: within each hash run,
     # slots are in first-occurrence order
-    o1 = jnp.argsort(occ_key, stable=True)
-    o2 = jnp.argsort(occ_hash[o1], stable=True)
+    o1 = _argsort64(occ_key)
+    o2 = _argsort64(occ_hash[o1])
     perm = o1[o2]
     sh = occ_hash[perm]
     valid = sh != UINT_MAX
     boundary = valid & jnp.concatenate(
         [jnp.ones((1,), bool), sh[1:] != sh[:-1]]
     )
-    run_id = jnp.cumsum(boundary.astype(jnp.int64)) - 1
+    run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     seg = jnp.where(valid, run_id, N).astype(jnp.int32)
     cov = jax.ops.segment_sum(valid.astype(jnp.int32), seg, num_segments=N + 1)
     run_cov = cov[seg]
     run_key = occ_key[perm]
-    # unique (node, read) pairs: stable sort by pair id keeps first-occurrence
-    # order within each pair
+    # unique (node, read) pairs: two native stable sorts (read then run) give
+    # (run, read) order while keeping first-occurrence order within pairs
+    HUGE = jnp.int32(0x7FFFFFFF)
     sread = occ_read[perm]
-    pair_key = jnp.where(
-        valid, run_id * jnp.int64(n_reads) + sread, jnp.int64(-1)
-    )
-    po = jnp.argsort(pair_key, stable=True)
-    pk = pair_key[po]
-    pvalid = pk >= 0
+    read32 = jnp.where(valid, sread.astype(jnp.int32), HUGE)
+    run32 = jnp.where(valid, run_id, HUGE)
+    po = jnp.argsort(read32, stable=True)
+    po = po[jnp.argsort(run32[po], stable=True)]
+    prun_s = run32[po]
+    pread_s = read32[po]
+    pvalid = prun_s != HUGE
     pboundary = pvalid & jnp.concatenate(
-        [jnp.ones((1,), bool), pk[1:] != pk[:-1]]
+        [
+            jnp.ones((1,), bool),
+            (prun_s[1:] != prun_s[:-1]) | (pread_s[1:] != pread_s[:-1]),
+        ]
     )
-    pair_run = jnp.where(pvalid, run_id[po], -1).astype(jnp.int32)
-    pair_read = jnp.where(pvalid, sread[po], -1).astype(jnp.int32)
+    pair_run = jnp.where(pvalid, prun_s, -1)
+    pair_read = jnp.where(pvalid, pread_s, -1)
     return sh, boundary, run_key, run_cov, pboundary, pair_run, pair_read
 
 
@@ -129,15 +144,15 @@ def assemble_edge_tables(ekeys, eokey):
     carry the unique key, its coverage, and first-occurrence order key (from
     which the host reconstructs the endpoint record)."""
     N = ekeys.shape[0]
-    o1 = jnp.argsort(eokey, stable=True)
-    o2 = jnp.argsort(ekeys[o1], stable=True)
+    o1 = _argsort64(eokey)
+    o2 = _argsort64(ekeys[o1])
     perm = o1[o2]
     sk = ekeys[perm]
     valid = sk != UINT_MAX
     boundary = valid & jnp.concatenate(
         [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
     )
-    run_id = jnp.cumsum(boundary.astype(jnp.int64)) - 1
+    run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     seg = jnp.where(valid, run_id, N).astype(jnp.int32)
     cov = jax.ops.segment_sum(valid.astype(jnp.int32), seg, num_segments=N + 1)[
         seg

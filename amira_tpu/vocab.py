@@ -68,6 +68,24 @@ class GeneVocab:
     def encode_read(self, genes: list[str]) -> np.ndarray:
         return np.asarray([self.encode_gene(g) for g in genes], dtype=np.int32)
 
+    def encode_reads_batch(self, reads: list[list[str]]) -> list[np.ndarray]:
+        """Tokenize many reads at once (native C fast path when available)."""
+        from amira_tpu.native import load as _load_native
+
+        native = _load_native()
+        if native is not None:
+            try:
+                toks, next_id, new_names = native.encode_reads(
+                    reads, self._name_to_id, len(self._names)
+                )
+                self._names.extend(new_names)
+                return [np.frombuffer(b, dtype=np.int32) for b in toks]
+            except ValueError:
+                raise
+            except Exception:
+                pass
+        return [self.encode_read(g) for g in reads]
+
     def decode_read(self, tokens) -> list[str]:
         return [self.decode_gene(t) for t in np.asarray(tokens) if t != 0]
 
