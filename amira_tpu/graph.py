@@ -256,11 +256,15 @@ class GeneMerGraph:
         )
         esk, eboundary, ecov, eokey_s = assemble_edge_tables(ekeys, eokey)
 
-        # ---- per-read window hash/direction arrays (host views)
+        # ---- per-read window hash/direction arrays (uint32-split for
+        # fast tunnel transfer)
+        from amira_tpu.ops.graph_tables import join_u64, split_u64
+
         win_hash = {}
         win_dir = {}
         for lb, (sel, dev_h, dev_d, W) in host_win.items():
-            hh = np.asarray(dev_h).reshape(-1, W)
+            lo, hi = split_u64(dev_h)
+            hh = join_u64(np.asarray(lo), np.asarray(hi)).reshape(-1, W)
             dd = np.asarray(dev_d).reshape(-1, W)
             for row, s in enumerate(sel):
                 w = int(kept_len[s]) - (k - 1)
@@ -279,17 +283,33 @@ class GeneMerGraph:
             else:
                 self._readNodePositions[rid] = [None] * len(wh)
 
-        # ---- node table
-        boundary = np.asarray(boundary)
-        bidx = np.nonzero(boundary)[0]
-        sh = np.asarray(sh)
-        node_hashes = sh[bidx]
-        node_covs = np.asarray(run_cov)[bidx]
-        node_keys = np.asarray(run_key)[bidx]
+        # ---- compact tables on device, transfer only C-sized arrays
+        from amira_tpu.ops.graph_tables import (
+            _count_true,
+            compact_edge_tables,
+            compact_node_tables,
+            compact_pair_tables,
+        )
+
+        n_nodes = int(_count_true(boundary))
+        n_pairs = int(_count_true(pboundary))
+        n_edges = int(_count_true(eboundary))
+        Cn = _bucket(n_nodes, 256)
+        Cp = _bucket(n_pairs, 256)
+        Ce = _bucket(max(n_edges, 1), 256)
+        h_lo, h_hi, k_lo, k_hi, covs = compact_node_tables(
+            sh, boundary, run_key, run_cov, Cn
+        )
+        node_hashes = join_u64(np.asarray(h_lo), np.asarray(h_hi))[:n_nodes]
+        node_keys = join_u64(np.asarray(k_lo), np.asarray(k_hi))[
+            :n_nodes
+        ].astype(np.int64)
+        node_covs = np.asarray(covs)[:n_nodes]
         first_read = (node_keys >> 22).astype(np.int64)
         first_w = ((node_keys >> 1) & ((1 << 21) - 1)).astype(np.int64)
+
         nodes_in_run_order = []
-        for gi in range(len(bidx)):
+        for gi in range(n_nodes):
             ri, wi = int(first_read[gi]), int(first_w[gi])
             wtok = kept_tok[ri][wi : wi + k]
             d_first = int(win_dir[ri][wi])
@@ -302,15 +322,14 @@ class GeneMerGraph:
             node = nodes_in_run_order[gi]
             self._nodes[node.hash] = node
 
-        # ---- reads per node
-        pboundary = np.asarray(pboundary)
-        pidx = np.nonzero(pboundary)[0]
-        prun = np.asarray(pair_run)[pidx]
-        pread = np.asarray(pair_read)[pidx]
+        # ---- reads per node (compact pair tables, already (run, read) sorted)
+        prun_c, pread_c = compact_pair_tables(pboundary, pair_run, pair_read, Cp)
+        prun = np.asarray(prun_c)[:n_pairs].astype(np.int64)
+        pread = np.asarray(pread_c)[:n_pairs].astype(np.int64)
         kept_arr = np.array(kept_ids, dtype=object)
         read_objs = kept_arr[pread]
-        bounds = np.searchsorted(prun, np.arange(len(bidx) + 1))
-        for gi in range(len(bidx)):
+        bounds = np.searchsorted(prun, np.arange(n_nodes + 1))
+        for gi in range(n_nodes):
             node = nodes_in_run_order[gi]
             rids = read_objs[bounds[gi] : bounds[gi + 1]].tolist()
             node.reads = rids
@@ -318,12 +337,15 @@ class GeneMerGraph:
 
         # ---- edge table (endpoints reconstructed from the first-occurrence
         # order key: read index, window, fwd/rev slot)
-        eboundary = np.asarray(eboundary)
-        eidx = np.nonzero(eboundary)[0]
-        if len(eidx):
-            ekey_vals = np.asarray(esk)[eidx]
-            ecov_vals = np.asarray(ecov)[eidx]
-            eokey_vals = np.asarray(eokey_s)[eidx]
+        if n_edges:
+            ek_lo, ek_hi, ecov_c, eo_lo, eo_hi = compact_edge_tables(
+                esk, eboundary, ecov, eokey_s, Ce
+            )
+            ekey_vals = join_u64(np.asarray(ek_lo), np.asarray(ek_hi))[:n_edges]
+            ecov_vals = np.asarray(ecov_c)[:n_edges]
+            eokey_vals = join_u64(np.asarray(eo_lo), np.asarray(eo_hi))[
+                :n_edges
+            ].astype(np.int64)
             e_read = (eokey_vals >> 22).astype(np.int64)
             e_w = ((eokey_vals >> 1) & ((1 << 21) - 1)).astype(np.int64)
             e_rev = (eokey_vals & 1).astype(bool)

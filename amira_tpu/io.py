@@ -145,6 +145,25 @@ def parse_sam(sam_path):
             yield SamRecord(fields)
 
 
+def parse_sam_header_lengths(sam_path) -> dict:
+    """Reference name -> length from @SQ header lines."""
+    lengths = {}
+    with _open_maybe_gzip(sam_path) as fh:
+        for line in fh:
+            if not line.startswith("@"):
+                break
+            if line.startswith("@SQ"):
+                name = ln = None
+                for field in line.rstrip("\n").split("\t")[1:]:
+                    if field.startswith("SN:"):
+                        name = field[3:]
+                    elif field.startswith("LN:"):
+                        ln = int(field[3:])
+                if name is not None and ln is not None:
+                    lengths[name] = ln
+    return lengths
+
+
 def downsample_reads(fastq_content, read_path, output_dir, max_reads=100000, seed=None):
     """Random subsample of the FASTQ to max_reads, written to
     subsampled_reads.fq.gz (read_utils.py:55-73; the `fastaq filter`

@@ -139,6 +139,72 @@ def assemble_node_tables(occ_hash, occ_read, occ_key, n_reads: int):
 
 
 @jax.jit
+def _count_true(mask):
+    return jnp.sum(mask.astype(jnp.int32))
+
+
+@jax.jit
+def split_u64(x):
+    """uint64 -> (lo, hi) uint32 pair (uint32 crosses the device tunnel ~6x
+    faster than 64-bit types)."""
+    xu = x.astype(jnp.uint64)
+    return (
+        (xu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+        (xu >> jnp.uint64(32)).astype(jnp.uint32),
+    )
+
+
+def join_u64(lo, hi):
+    return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+
+
+@partial(jax.jit, static_argnames=("C",))
+def compact_node_tables(sh, boundary, run_key, run_cov, C: int):
+    """Scatter boundary slots into a (C,) compact table; everything returned
+    as uint32 for fast transfer."""
+    run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    idx = jnp.where(boundary, run_id, C)
+    def scat(v, dtype):
+        out = jnp.zeros((C + 1,), dtype)
+        return out.at[idx].set(jnp.where(boundary, v, 0).astype(dtype))[:C]
+    h_lo, h_hi = split_u64(sh)
+    k_lo, k_hi = split_u64(run_key.astype(jnp.uint64))
+    return (
+        scat(h_lo, jnp.uint32), scat(h_hi, jnp.uint32),
+        scat(k_lo, jnp.uint32), scat(k_hi, jnp.uint32),
+        scat(run_cov, jnp.uint32),
+    )
+
+
+@partial(jax.jit, static_argnames=("C",))
+def compact_pair_tables(pboundary, pair_run, pair_read, C: int):
+    run_id = jnp.cumsum(pboundary.astype(jnp.int32)) - 1
+    idx = jnp.where(pboundary, run_id, C)
+    def scat(v):
+        out = jnp.zeros((C + 1,), jnp.uint32)
+        return out.at[idx].set(
+            jnp.where(pboundary, v, 0).astype(jnp.uint32)
+        )[:C]
+    return scat(pair_run), scat(pair_read)
+
+
+@partial(jax.jit, static_argnames=("C",))
+def compact_edge_tables(sk, boundary, cov, eokey, C: int):
+    run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    idx = jnp.where(boundary, run_id, C)
+    def scat(v, dtype):
+        out = jnp.zeros((C + 1,), dtype)
+        return out.at[idx].set(jnp.where(boundary, v, 0).astype(dtype))[:C]
+    k_lo, k_hi = split_u64(sk)
+    o_lo, o_hi = split_u64(eokey.astype(jnp.uint64))
+    return (
+        scat(k_lo, jnp.uint32), scat(k_hi, jnp.uint32),
+        scat(cov, jnp.uint32),
+        scat(o_lo, jnp.uint32), scat(o_hi, jnp.uint32),
+    )
+
+
+@jax.jit
 def assemble_edge_tables(ekeys, eokey):
     """Edge-key-grouped tables sorted by (key, order key): boundary slots
     carry the unique key, its coverage, and first-occurrence order key (from

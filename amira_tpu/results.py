@@ -240,6 +240,73 @@ def get_closest_allele_from_reads(alignments, references, ref_cov_proportion, re
     return False, invalid, unique_reads
 
 
+def get_closest_allele_from_sam(
+    sam_path, mapping_type, required_identity, required_coverage,
+    ref_cov_proportion=None,
+):
+    """SAM-file variant of the closest-reference selection, byte-compatible
+    with the reference's get_closest_allele (result_utils.py:345-420) — used
+    for SAM interop and parity testing against pre-computed alignments."""
+    from amira_tpu.io import parse_sam, parse_sam_header_lengths
+
+    ref_lengths_hdr = parse_sam_header_lengths(sam_path)
+    ref_covered: dict = {}
+    ref_matching: dict = {}
+    ref_lengths: dict = {}
+    ref_cigarstrings: dict = {}
+    ref_cigartuples: dict = {}
+    unique_reads = set()
+    for read in parse_sam(sam_path):
+        if not read.is_mapped:
+            continue
+        unique_reads.add(read.query_name)
+        total_length = ref_lengths_hdr[read.reference_name]
+        if read.reference_name not in ref_covered:
+            ref_covered[read.reference_name] = 0
+            ref_matching[read.reference_name] = 0
+            ref_lengths[read.reference_name] = total_length
+        matching = sum(n for op, n in read.cigar if op == 7)
+        if mapping_type == "reads":
+            prop_matching = matching / total_length
+            prop_covered = ref_cov_proportion[read.reference_name]
+        else:  # "allele"
+            # infer_read_length: every query-consuming op incl. hard clips
+            read_len = sum(
+                n for op, n in read.cigar if op in (0, 1, 4, 5, 7, 8)
+            )
+            prop_matching = matching / read_len if read_len else 0
+            aligned = sum(n for op, n in read.cigar if op in (0, 1, 7, 8))
+            prop_covered = aligned / total_length
+        if prop_matching > ref_matching[read.reference_name]:
+            ref_matching[read.reference_name] = prop_matching
+            ref_cigarstrings[read.reference_name] = _cigar_to_string(read.cigar)
+            ref_cigartuples[read.reference_name] = read.cigar
+        if prop_covered > ref_covered[read.reference_name]:
+            ref_covered[read.reference_name] = prop_covered
+    valid, invalid = [], []
+    for ref in ref_matching:
+        entry = (
+            ref, ref_matching[ref], ref_lengths[ref], ref_covered[ref],
+            ref_cigarstrings[ref], ref_cigartuples[ref],
+        )
+        if ref_covered[ref] >= required_coverage - 0.05:
+            valid.append(entry)
+        else:
+            invalid.append(entry)
+    valid.sort(key=lambda x: (min(1, x[3]), x[1], x[2]), reverse=True)
+    if valid:
+        return True, valid, unique_reads
+    invalid.sort(key=lambda x: (x[3], x[1]), reverse=True)
+    return False, invalid, unique_reads
+
+
+_CIGAR_CHARS = "MIDNSHP=X"
+
+
+def _cigar_to_string(cigar_tuples):
+    return "".join(f"{n}{_CIGAR_CHARS[op]}" for op, n in cigar_tuples)
+
+
 def get_closest_allele_from_polished(polished_seq, references, band_width=256):
     """Best reference for the polished allele ("allele" mode,
     result_utils.py:345-420, 557-570)."""
