@@ -324,22 +324,18 @@ class Aligner:
     def map_sequence(self, seq: str, min_seeds: int = 2):
         """Map one query (both strands) against every reference; returns
         {ref_name: (strand, Alignment)} keeping the best-scoring strand."""
-        results = {}
-        fwd = seq
-        rev = reverse_complement(seq)
-        jobs = []  # (ref, strand, qseq, dlo)
-        for strand, qseq in (("+", fwd), ("-", rev)):
+        return self.map_reads({"q": seq}, min_seeds).get("q", {})
+
+    def _jobs_for(self, rid, seq, min_seeds):
+        jobs = []  # (job_tag, strand, qseq, dlo) with job_tag = (rid, ref)
+        for strand, qseq in (("+", seq), ("-", reverse_complement(seq))):
             qcodes = encode_dna(qseq)
             for name in self.ref_names:
                 sd = _seed_diagonal(qcodes, self.ref_seed_index[name], self.seed_k)
                 if sd is None or sd[1] < min_seeds:
                     continue
-                jobs.append((name, strand, qseq, sd[0]))
-        for name, strand, qseq, aln in self._run_jobs(jobs):
-            prev = results.get(name)
-            if prev is None or aln.score > prev[1].score:
-                results[name] = (strand, aln)
-        return results
+                jobs.append(((rid, name), strand, qseq, sd[0]))
+        return jobs
 
     def _run_jobs(self, jobs):
         """Execute alignment jobs grouped by query-length bucket."""
@@ -358,15 +354,15 @@ class Aligner:
 
     def _run_batch(self, batch, lq, W, out):
         # pad refs to a bucketed common length so compiles are reused
-        lr_max = max(len(self.ref_codes[j[0]]) for j in batch)
+        lr_max = max(len(self.ref_codes[j[0][1]]) for j in batch)
         P = W + lq  # real-ref offset inside the padded buffer
         rlen = _bucket(lr_max + 2 * W + 2 * lq)
         qs, rs, qlens, dlos = [], [], [], []
-        for name, strand, qseq, diag in batch:
+        for tag, strand, qseq, diag in batch:
             qc = encode_dna(qseq)
             qpad = np.full(lq, 4, dtype=np.uint8)
             qpad[: len(qc)] = qc
-            rc = self.ref_codes[name]
+            rc = self.ref_codes[tag[1]]
             rpad = np.full(rlen, 4, dtype=np.uint8)
             rpad[P : P + len(rc)] = rc
             # clamp band start: diagonals from "whole query before ref" to
@@ -395,11 +391,11 @@ class Aligner:
         bi = np.asarray(bi)
         bw = np.asarray(bw)
         bs = np.asarray(bs)
-        for bidx, (name, strand, qseq, _diag) in enumerate(batch):
+        for bidx, (tag, strand, qseq, _diag) in enumerate(batch):
             if bi[bidx] < 0 or best[bidx] <= 0:
                 continue
             qc = encode_dna(qseq)
-            rc = self.ref_codes[name]
+            rc = self.ref_codes[tag[1]]
             cigar, q0, r0, q1, r1 = _traceback(
                 tb[bidx], qc,
                 np.concatenate([rc, np.full(W + lq, 4, np.uint8)]),
@@ -410,8 +406,18 @@ class Aligner:
                 score=int(best[bidx]), cigar=cigar,
                 q_len=len(qseq), r_len=len(rc),
             )
-            out.append((name, strand, qseq, aln))
+            out.append((tag, strand, qseq, aln))
 
     def map_reads(self, reads: dict[str, str], min_seeds: int = 2):
-        """Map many reads; returns {read_id: {ref: (strand, Alignment)}}."""
-        return {rid: self.map_sequence(seq, min_seeds) for rid, seq in reads.items()}
+        """Map many reads in shared batched kernel launches; returns
+        {read_id: {ref: (strand, Alignment)}}."""
+        jobs = []
+        for rid, seq in reads.items():
+            jobs.extend(self._jobs_for(rid, seq, min_seeds))
+        results: dict = {}
+        for (rid, name), strand, _qseq, aln in self._run_jobs(jobs):
+            per_read = results.setdefault(rid, {})
+            prev = per_read.get(name)
+            if prev is None or aln.score > prev[1].score:
+                per_read[name] = (strand, aln)
+        return results

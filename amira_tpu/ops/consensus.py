@@ -87,11 +87,11 @@ def polish_once(draft: str, reads: dict[str, str], band_width: int = 256):
     racon_one_iteration equivalent). Returns (consensus, alignments)."""
     aligner = Aligner({"draft": draft}, band_width=band_width)
     alns = []
-    for rid, seq in reads.items():
-        hits = aligner.map_sequence(seq)
+    for rid, hits in aligner.map_reads(reads).items():
         if "draft" not in hits:
             continue
         strand, aln = hits["draft"]
+        seq = reads[rid]
         oriented = seq if strand == "+" else reverse_complement(seq)
         alns.append((strand, aln, oriented))
     if not alns:

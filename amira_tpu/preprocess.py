@@ -88,9 +88,8 @@ def remove_poorly_mapped_genes(
     if len(read_ids) > max_reads:
         rng = random.Random(0)
         read_ids = rng.sample(read_ids, max_reads)
-    for rid in read_ids:
-        seq = fastq_content[rid]["sequence"]
-        hits = aligner.map_sequence(seq)
+    read_seqs = {rid: fastq_content[rid]["sequence"] for rid in read_ids}
+    for _rid, hits in aligner.map_reads(read_seqs).items():
         for g, (_strand, aln) in hits.items():
             coverage[g][aln.r_start : aln.r_end] = 1
     for g in genes:

@@ -365,7 +365,9 @@ def compare_reads_to_references(
     reads = slice_reads_for_allele(reads_for_allele, fastq_content)
     read_seqs = {r: v["sequence"] for r, v in reads.items()}
     aligner = Aligner(references, band_width=band_width)
-    alignments = {rid: aligner.map_sequence(seq) for rid, seq in read_seqs.items()}
+    alignments = aligner.map_reads(read_seqs)
+    for rid in read_seqs:
+        alignments.setdefault(rid, {})
     ref_allele_positions, ref_cov_proportion = _ref_pileups(alignments, references)
     validity, refs_sorted, unique_reads = get_closest_allele_from_reads(
         alignments, references, ref_cov_proportion, required_coverage
@@ -384,10 +386,10 @@ def compare_reads_to_references(
         for _ in range(5):
             draft_aligner = Aligner({"draft": seq}, band_width=band_width)
             alns = []
-            for rid, rseq in read_seqs.items():
-                h = draft_aligner.map_sequence(rseq)
+            for rid, h in draft_aligner.map_reads(read_seqs).items():
                 if "draft" in h:
                     strand, aln = h["draft"]
+                    rseq = read_seqs[rid]
                     oriented = rseq if strand == "+" else reverse_complement(rseq)
                     alns.append((strand, aln, oriented))
             if not alns:
