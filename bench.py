@@ -70,21 +70,47 @@ def _baseline_reads_per_sec(reads):
     return len(sample) / dt
 
 
-def main():
-    import jax
-
+def _timed_builds(reads):
     from amira_tpu.graph import GeneMerGraph
     from amira_tpu.vocab import GeneVocab
 
-    reads = _load_reads()
-    platform = jax.devices()[0].platform
     vocab = GeneVocab()
     # warm-up build compiles every (k, bucket) kernel shape
     GeneMerGraph(dict(list(reads.items())[:2000]), 3, vocab=vocab)
-    g = GeneMerGraph(reads, 3, vocab=vocab)
-    start = time.time()
-    g = GeneMerGraph(reads, 3, vocab=vocab)
-    dt = time.time() - start
+    GeneMerGraph(reads, 3, vocab=vocab)
+    best = None
+    g = None
+    for _ in range(3):
+        start = time.time()
+        g = GeneMerGraph(reads, 3, vocab=vocab)
+        dt = time.time() - start
+        best = dt if best is None else min(best, dt)
+    return best, g
+
+
+def main():
+    import os
+
+    import jax
+
+    if os.environ.get("AMIRA_TPU_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    reads = _load_reads()
+    platform = jax.devices()[0].platform
+    try:
+        dt, g = _timed_builds(reads)
+    except Exception as e:  # device outage: re-run on the CPU backend
+        sys.stderr.write(
+            f"[bench] {platform} backend failed ({e}); CPU fallback\n"
+        )
+        import subprocess
+
+        env = dict(os.environ, AMIRA_TPU_BENCH_CPU="1")
+        raise SystemExit(
+            subprocess.run([sys.executable, __file__], env=env).returncode
+        )
+    if os.environ.get("AMIRA_TPU_BENCH_CPU"):
+        platform = "cpu-fallback"
     reads_per_sec = len(reads) / dt
     n_nodes = g.get_total_number_of_nodes()
 
