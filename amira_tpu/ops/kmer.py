@@ -55,6 +55,44 @@ def _kmer_codes_kernel(codes, k: int):
     return jnp.where(valid, canon, jnp.uint32(4**k))
 
 
+def _pow2_bucket(n: int, minimum: int) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _count_kernel(codes, k: int):
+    """Sorted window codes + run boundaries + per-slot run counts."""
+    wc = _kmer_codes_kernel(codes, k)  # invalid -> 4**k (sorts last)
+    sc = jnp.sort(wc)
+    valid = sc < jnp.uint32(4**k)
+    boundary = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), sc[1:] != sc[:-1]]
+    )
+    run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    N = sc.shape[0]
+    seg = jnp.where(valid, run_id, N).astype(jnp.int32)
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), seg, num_segments=N + 1
+    )[seg]
+    return sc, boundary, counts
+
+
+@partial(jax.jit, static_argnames=("C",))
+def _compact_count_kernel(sorted_codes, boundary, run_counts, C: int):
+    run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    idx = jnp.where(boundary, run_id, C)
+    kmers = jnp.zeros((C + 1,), jnp.uint32).at[idx].set(
+        jnp.where(boundary, sorted_codes, 0)
+    )[:C]
+    counts = jnp.zeros((C + 1,), jnp.uint32).at[idx].set(
+        jnp.where(boundary, run_counts, 0).astype(jnp.uint32)
+    )[:C]
+    return kmers, counts
+
+
 class KmerCounter:
     """Canonical k-mer count table over a read set (jellyfish equivalent)."""
 
@@ -70,20 +108,21 @@ class KmerCounter:
         codes = _concat_codes(list(seqs))
         if len(codes) < k:
             return self
-        window_codes = np.asarray(_kmer_codes_kernel(codes, k))
-        limit = np.uint32(4**k)
-        window_codes = window_codes[window_codes < limit]
-        if len(window_codes) == 0:
+        # windowing + sort + run-length counting on device; only the compact
+        # (distinct k-mer, count) table crosses back to the host
+        n_pad = _pow2_bucket(len(codes), 1 << 16)
+        if n_pad != len(codes):
+            codes = np.concatenate(
+                [codes, np.full(n_pad - len(codes), _SENTINEL, np.uint8)]
+            )
+        sorted_codes, boundary, run_counts = _count_kernel(codes, k)
+        n_distinct = int(jnp.sum(boundary))
+        if n_distinct == 0:
             return self
-        # sort + run-length: device-friendly, done with numpy on host for the
-        # final compaction (dynamic output size)
-        sorted_codes = np.sort(window_codes, kind="stable")
-        boundary = np.ones(len(sorted_codes), dtype=bool)
-        boundary[1:] = sorted_codes[1:] != sorted_codes[:-1]
-        starts = np.nonzero(boundary)[0]
-        ends = np.append(starts[1:], len(sorted_codes))
-        kmers = sorted_codes[starts]
-        counts = (ends - starts).astype(np.int64)
+        C = _pow2_bucket(n_distinct, 1 << 12)
+        kc, cc = _compact_count_kernel(sorted_codes, boundary, run_counts, C)
+        kmers = np.asarray(kc)[:n_distinct]
+        counts = np.asarray(cc)[:n_distinct].astype(np.int64)
         if min_count > 0:
             keep = counts >= min_count
             kmers, counts = kmers[keep], counts[keep]
@@ -104,6 +143,11 @@ class KmerCounter:
         codes = _concat_codes(list(seqs))
         if len(codes) < self.k:
             return np.zeros(0, dtype=np.int64)
+        n_pad = _pow2_bucket(len(codes), 1 << 12)
+        if n_pad != len(codes):
+            codes = np.concatenate(
+                [codes, np.full(n_pad - len(codes), _SENTINEL, np.uint8)]
+            )
         window_codes = np.asarray(_kmer_codes_kernel(codes, self.k))
         window_codes = window_codes[window_codes < np.uint32(4**self.k)]
         if len(window_codes) == 0 or len(self.kmers) == 0:
