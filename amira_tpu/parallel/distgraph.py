@@ -116,6 +116,95 @@ def Pspec_data():
     return P("data")
 
 
+def make_distributed_genemer_step_2d(mesh, k: int, capacity: int):
+    """2D-parallel gene-mer counting over a ("data", "table") mesh.
+
+    Reads shard over BOTH axes (maximum data parallelism); the hash space
+    shards over the "table" axis: every device routes each gene-mer hash to
+    its owning table shard (hash mod T) with an all_to_all over ICI, counts
+    its partition, then merges partial tables across the "data" axis with an
+    all_gather + re-count. Each device ends up holding the global count table
+    for its hash partition — the table-parallel analogue of TP for a count
+    table that would not fit one chip's HBM at pod scale.
+    """
+    shard_map = jax.shard_map
+    T = mesh.shape["table"]
+
+    def shard_step(tokens, lengths):
+        win = genemer_windows(tokens, lengths, k)
+        nh = jnp.where(win["valid"], win["node_hash"], 0).reshape(-1)
+        # route hashes to their owning table shard: bucket by dest with a
+        # fixed per-destination capacity, then all_to_all over "table"
+        dest = (nh % jnp.uint64(T)).astype(jnp.int32)
+        dest = jnp.where(nh == 0, T, dest)  # invalid -> dropped bucket
+        send_cap = max(nh.shape[0] // T * 2, 128)
+        order = jnp.argsort(dest, stable=True)
+        sd = dest[order]
+        sh_sorted = nh[order]
+        # position of each element within its destination bucket
+        first_of_dest = jnp.searchsorted(sd, jnp.arange(T + 1, dtype=jnp.int32))
+        send = jnp.zeros((T, send_cap + 1), dtype=jnp.uint64)
+        idx_in_bucket = jnp.arange(sd.shape[0]) - first_of_dest[
+            jnp.clip(sd, 0, T)
+        ]
+        ok = (sd < T) & (idx_in_bucket < send_cap)
+        # invalid/overflow elements scatter into the dump column send_cap
+        send = send.at[
+            jnp.where(ok, sd, 0), jnp.where(ok, idx_in_bucket, send_cap)
+        ].set(jnp.where(ok, sh_sorted, 0))
+        send = send[:, :send_cap]
+        recv = jax.lax.all_to_all(send, "table", 0, 0, tiled=False)
+        mine = recv.reshape(-1)
+        local_keys, local_counts = bounded_count(
+            mine, jnp.ones(mine.shape[0], jnp.int32), capacity
+        )
+        # merge the data-axis shards of this table partition
+        all_keys = jax.lax.all_gather(local_keys, "data").reshape(-1)
+        all_counts = jax.lax.all_gather(local_counts, "data").reshape(-1)
+        merged_keys, merged_counts = bounded_count(all_keys, all_counts, capacity)
+        # every occurrence lands on exactly one (data, table) device after the
+        # all_to_all, so the global total sums the pre-merge local tables
+        total = jax.lax.psum(
+            jax.lax.psum(jnp.sum(local_counts), "table"), "data"
+        )
+        return merged_keys[None, :], merged_counts[None, :], total
+
+    step = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(("data", "table")), P(("data", "table"))),
+        out_specs=(P("table"), P("table"), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def distributed_node_counts_2d(
+    read_tokens: np.ndarray, lengths: np.ndarray, k: int, mesh,
+    capacity: int = 1 << 16,
+):
+    """Host entry for the 2D mesh: returns the concatenated per-partition
+    tables as one (hashes, counts) table plus the global occurrence total."""
+    n_dev = mesh.devices.size
+    R = read_tokens.shape[0]
+    pad = (-R) % n_dev
+    if pad:
+        read_tokens = np.vstack(
+            [read_tokens, np.zeros((pad, read_tokens.shape[1]), read_tokens.dtype)]
+        )
+        lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
+    step = make_distributed_genemer_step_2d(mesh, k, capacity)
+    sharding = jax.sharding.NamedSharding(mesh, P(("data", "table")))
+    keys, counts, total = step(
+        jax.device_put(read_tokens, sharding),
+        jax.device_put(lengths, sharding),
+    )
+    keys = np.asarray(keys).reshape(-1)
+    counts = np.asarray(counts).reshape(-1)
+    mask = keys != 0
+    return keys[mask], counts[mask], int(np.asarray(total).reshape(-1)[0])
+
+
 def distributed_node_counts(read_tokens: np.ndarray, lengths: np.ndarray, k: int, mesh, capacity: int = 1 << 16):
     """Host entry: shard (R, L) reads over the mesh's data axis, run the
     collective count step, return the merged (hashes, counts) table."""

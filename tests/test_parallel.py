@@ -87,6 +87,34 @@ def test_distributed_matches_graph_coverages():
     assert table == expected
 
 
+def test_distributed_2d_mesh_matches_single_chip():
+    """(data x table) 2D mesh: all_to_all hash routing + per-partition count
+    + data-axis merge reproduces the single-chip table exactly."""
+    from amira_tpu.parallel.distgraph import distributed_node_counts_2d
+
+    calls = json.load(
+        open("/root/reference/tests/complex_gene_calls_one.json")
+    )
+    sub = dict(list(calls.items())[:2000])
+    v = GeneVocab()
+    toks = [v.encode_read(g)[:64] for g in sub.values()]
+    toks = [t for t in toks if len(t) >= 3]
+    tokens, lengths = pack_reads(toks, pad_to=64)
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("need 8 devices")
+    mesh = Mesh(np.array(devices[:8]).reshape(4, 2), ("data", "table"))
+    keys, counts, total = distributed_node_counts_2d(
+        tokens, lengths, 3, mesh, capacity=1 << 13
+    )
+    k2, c2, _, _ = local_genemer_tables(tokens, lengths, 3, 1 << 13)
+    k2, c2 = np.asarray(k2), np.asarray(c2)
+    dist = dict(zip(keys.tolist(), counts.tolist()))
+    local = dict(zip(k2[k2 != 0].tolist(), c2[k2 != 0].tolist()))
+    assert dist == local
+    assert total == sum(local.values())
+
+
 def test_graft_entry():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
