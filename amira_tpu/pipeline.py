@@ -48,6 +48,7 @@ from amira_tpu.results import (
     write_pandora_gene_calls,
     write_reads_per_AMR_gene,
 )
+from amira_tpu.tracing import TIMER, phase
 from amira_tpu.vocab import GeneVocab
 
 
@@ -183,7 +184,8 @@ def run_pipeline(args) -> None:
     if args.reads is not None:
         if not args.quiet:
             sys.stderr.write("\namira-tpu: loading FASTQ file.\n")
-        fastq_content = parse_fastq(args.reads)
+        with phase("load_fastq"):
+            fastq_content = parse_fastq(args.reads)
         read_fastq_path, fastq_content = write_modified_fastq(
             fastq_content, args.reads, args.output_dir
         )
@@ -206,6 +208,8 @@ def run_pipeline(args) -> None:
         )
 
     mean_read_depth = 0.0
+    ingest_phase = phase("ingest_gene_calls")
+    ingest_phase.__enter__()
     if args.pandoraJSON:
         annotatedReads, sample_genesOfInterest, gene_position_dict = (
             process_pandora_json(
@@ -253,6 +257,7 @@ def run_pipeline(args) -> None:
             f"\namira-tpu: mean read depth across core genes = {mean_read_depth}.\n"
         )
 
+    ingest_phase.__exit__(None, None, None)
     if len(sample_genesOfInterest) == 0:
         write_empty_result(args.output_dir)
         sys.exit(0)
@@ -262,7 +267,18 @@ def run_pipeline(args) -> None:
     vocab = GeneVocab()
     if not args.quiet:
         sys.stderr.write("\namira-tpu: building initial gene-mer graph.\n")
-    graph = build_graph(annotatedReads, 3, gene_position_dict, vocab)
+    with phase("initial_graph_build", items=len(annotatedReads), unit="reads"):
+        graph = build_graph(annotatedReads, 3, gene_position_dict, vocab)
+    if args.debug:
+        for node in graph.all_nodes():
+            graph.color_node(node, sample_genesOfInterest)
+        graph.generate_gml(
+            os.path.join(args.output_dir, "pre_correction_gene_mer_graph"),
+            3, 1, 1,
+        )
+        graph.get_unitigs_in_graph(
+            os.path.join(args.output_dir, "pre_correction_unitigs.txt")
+        )
     overall_mean_node_coverages = get_overall_mean_node_coverages(graph)
     short_reads = graph.get_short_read_annotations()
     short_read_gene_positions = graph.get_short_read_gene_positions()
@@ -296,6 +312,10 @@ def run_pipeline(args) -> None:
             f"coverage < {node_min_coverage}.\n"
         )
     if args.reads is not None:
+        cleaning_phase = phase(
+            "graph_cleaning", items=len(new_annotatedReads), unit="reads"
+        )
+        cleaning_phase.__enter__()
         (
             new_annotatedReads,
             new_gene_position_dict,
@@ -317,13 +337,17 @@ def run_pipeline(args) -> None:
             args.quiet,
             vocab,
         )
+        cleaning_phase.__exit__(None, None, None)
     else:
         geneMer_size = 3
         overall_mean_node_coverage = overall_mean_node_coverages[3]
 
     if not args.quiet:
         sys.stderr.write("\namira-tpu: building corrected gene-mer graph.\n")
-    graph = build_graph(new_annotatedReads, geneMer_size, new_gene_position_dict, vocab)
+    with phase("final_graph_build", items=len(new_annotatedReads), unit="reads"):
+        graph = build_graph(
+            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab
+        )
     write_pandora_gene_calls(
         args.output_dir,
         new_gene_position_dict,
@@ -338,6 +362,9 @@ def run_pipeline(args) -> None:
     if args.debug:
         for node in graph.all_nodes():
             graph.color_node(node, sample_genesOfInterest)
+        graph.get_unitigs_in_graph(
+            os.path.join(args.output_dir, "post_correction_unitigs.txt")
+        )
     if not args.quiet:
         sys.stderr.write("\namira-tpu: writing gene-mer graph.\n")
     graph.generate_gml(
@@ -350,14 +377,15 @@ def run_pipeline(args) -> None:
         output_component_fastqs(args.output_dir, graph, fastq_content)
     if not args.quiet:
         sys.stderr.write("\namira-tpu: clustering reads.\n")
-    clusters_to_add, clusters_of_interest, path_reads = process_reads(
-        graph,
-        sample_genesOfInterest,
-        args.cores,
-        short_reads,
-        short_read_gene_positions,
-        overall_mean_node_coverage,
-    )
+    with phase("path_clustering", items=len(sample_genesOfInterest), unit="genes"):
+        clusters_to_add, clusters_of_interest, path_reads = process_reads(
+            graph,
+            sample_genesOfInterest,
+            args.cores,
+            short_reads,
+            short_read_gene_positions,
+            overall_mean_node_coverage,
+        )
     os.makedirs(os.path.join(args.output_dir, "AMR_allele_fastqs"), exist_ok=True)
     if not args.quiet:
         sys.stderr.write("\namira-tpu: writing fastqs.\n")
@@ -389,30 +417,34 @@ def run_pipeline(args) -> None:
         )
     if not args.quiet:
         sys.stderr.write("\namira-tpu: obtaining nucleotide sequences.\n")
-    result_df = get_alleles(
-        supplemented_clusters,
-        args.output_dir,
-        reference_alleles,
-        sequence_names,
-        fastq_content,
-        args.identity,
-        args.coverage,
-        args.debug,
-    )
+    with phase(
+        "allele_polishing", items=len(supplemented_clusters), unit="alleles"
+    ):
+        result_df = get_alleles(
+            supplemented_clusters,
+            args.output_dir,
+            reference_alleles,
+            sequence_names,
+            fastq_content,
+            args.identity,
+            args.coverage,
+            args.debug,
+        )
     if len(result_df) == 0:
         write_empty_result(args.output_dir)
         sys.exit(0)
     if args.reads is not None and args.assembly is None and args.meta is False:
         if not args.quiet:
             sys.stderr.write("\namira-tpu: estimating cellular copy numbers.\n")
-        copy_numbers, mean_depth_per_reference = estimate_copy_numbers(
-            fastq_content,
-            path_reads,
-            set(result_df["Amira allele"]),
-            args.output_dir,
-            15,
-            args.debug,
-        )
+        with phase("copy_number_estimation", items=len(path_reads), unit="paths"):
+            copy_numbers, mean_depth_per_reference = estimate_copy_numbers(
+                fastq_content,
+                path_reads,
+                set(result_df["Amira allele"]),
+                args.output_dir,
+                15,
+                args.debug,
+            )
     else:
         if not args.quiet:
             sys.stderr.write(
@@ -464,6 +496,7 @@ def run_pipeline(args) -> None:
     result_df.to_csv(
         os.path.join(args.output_dir, "amira_results.tsv"), sep="\t", index=False
     )
+    TIMER.finish(args.output_dir, args.quiet)
     if not args.quiet:
         sys.stderr.write(
             f"\namira-tpu: total runtime {round(time.time() - start_time)} seconds.\n"
