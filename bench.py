@@ -88,11 +88,33 @@ def _timed_builds(reads):
     return best, g
 
 
+def _device_responsive(timeout=180) -> bool:
+    """Probe the default backend in a subprocess: a wedged TPU tunnel hangs
+    forever in-process, so the probe must be killable."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(int(jnp.arange(4).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
 
     import jax
 
+    if not os.environ.get("AMIRA_TPU_BENCH_CPU") and not _device_responsive():
+        sys.stderr.write("[bench] device unresponsive; using CPU backend\n")
+        os.environ["AMIRA_TPU_BENCH_CPU"] = "1"
     if os.environ.get("AMIRA_TPU_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
     reads = _load_reads()
