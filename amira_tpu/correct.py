@@ -38,32 +38,24 @@ def needleman_wunsch(x: list, y: list):
     xs = np.array(x, dtype=object)
     ys = np.array(y, dtype=object)
     eq = xs[:, None] == ys[None, :]
+    # reference: option_F = (diag, F[i-1, j] - 1, F[i, j-1] - 1)
+    #            option_Ptr = (DIAG, LEFT, UP)
+    # max(zip(option_F, option_Ptr)) picks highest score; on ties it compares
+    # direction tuples: UP (0,-1) > LEFT (-1,0) > DIAG (-1,-1).
+    # The in-row dependency row[j] = max(dl[j], row[j-1]-1) unrolls into a
+    # cumulative max, so each row is pure vector work.
+    col_idx = np.arange(M + 1)
+    A = np.empty(M + 1, dtype=np.int32)
     for i in range(1, N + 1):
         diag = F[i - 1, :-1] + eq[i - 1].astype(np.int32)
-        up_row = F[i - 1, 1:] - 1  # gap in x's row? (reference LEFT = (-1, 0))
-        # reference: option_F = (diag, F[i-1, j] - 1, F[i, j-1] - 1)
-        #            option_Ptr = (DIAG, LEFT, UP)
-        # max(zip(option_F, option_Ptr)) picks highest score; on score ties it
-        # compares direction tuples: UP (0,-1) > LEFT (-1,0) > DIAG (-1,-1).
-        row = np.empty(M + 1, dtype=np.int32)
-        row[0] = -i
-        prow = P[i]
-        left = up_row  # F[i-1, j] - 1 with j from 1..M
-        # sequential dependency on F[i, j-1] forces a scan over columns
-        prev = row[0]
-        for j in range(1, M + 1):
-            d = diag[j - 1]
-            lf = left[j - 1]
-            u = prev - 1
-            # tie order: UP > LEFT > DIAG on equal scores
-            best, ptr = d, 0
-            if lf > best or (lf == best):
-                best, ptr = lf, 1
-            if u > best or (u == best):
-                best, ptr = u, 2
-            row[j] = best
-            prow[j] = ptr
-            prev = best
+        left = F[i - 1, 1:] - 1
+        dl = np.maximum(left, diag)  # tie -> LEFT over DIAG
+        A[0] = -i
+        A[1:] = dl + col_idx[1:]
+        row = np.maximum.accumulate(A) - col_idx
+        # tie -> UP over LEFT/DIAG
+        up = row[:-1] - 1
+        P[i, 1:] = np.where(up >= dl, 2, np.where(left >= diag, 1, 0))
         F[i] = row
     # traceback
     out = []
