@@ -168,6 +168,7 @@ def build_and_correct_graph(
 def run_pipeline(args) -> None:
     """The full pipeline (reference main(), __main__.py:417-804)."""
     start_time = time.time()
+    TIMER.phases.clear()
     import random
 
     random.seed(args.seed)

@@ -37,10 +37,11 @@ class PhaseTimer:
             yield entry
         finally:
             _name, start, entry = self._stack.pop()
-            entry["seconds"] = round(time.time() - start, 3)
-            if "items" in entry and entry["seconds"] > 0:
+            elapsed = time.time() - start
+            entry["seconds"] = round(elapsed, 3)
+            if "items" in entry:
                 entry["items_per_sec"] = round(
-                    entry["items"] / entry["seconds"], 1
+                    entry["items"] / max(elapsed, 1e-9), 1
                 )
             self.phases.append(entry)
 
