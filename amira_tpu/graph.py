@@ -666,6 +666,10 @@ class GeneMerGraph:
         return False, None, None
 
     def get_backward_node_from_node(self, node: Node):
+        # NOTE: the forward walk requires exactly one forward edge but the
+        # backward walk follows the FIRST backward edge whenever any exist —
+        # this asymmetry mirrors the reference (construct_graph.py:781-802)
+        # and is relied on by its tip-trimming behavior.
         if len(node.bwd_edges) > 0:
             edge = self._edges[node.bwd_edges[0]]
             tgt = self._nodes[edge.tgt]

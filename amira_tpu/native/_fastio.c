@@ -182,7 +182,22 @@ encode_reads(PyObject *self, PyObject *args)
                 Py_DECREF(arr);
                 goto fail;
             }
-            PyObject *nameobj = PyUnicode_FromStringAndSize(cs + 1, slen - 1);
+            /* normalize like the Python fallback: spaces -> underscores */
+            PyObject *nameobj;
+            if (memchr(cs + 1, ' ', slen - 1)) {
+                char *tmp = (char *)malloc(slen - 1);
+                if (!tmp) {
+                    Py_DECREF(arr);
+                    PyErr_NoMemory();
+                    goto fail;
+                }
+                for (Py_ssize_t t = 0; t < slen - 1; t++)
+                    tmp[t] = cs[1 + t] == ' ' ? '_' : cs[1 + t];
+                nameobj = PyUnicode_FromStringAndSize(tmp, slen - 1);
+                free(tmp);
+            } else {
+                nameobj = PyUnicode_FromStringAndSize(cs + 1, slen - 1);
+            }
             if (!nameobj) {
                 Py_DECREF(arr);
                 goto fail;

@@ -41,8 +41,12 @@ def process_pandora_json(pandoraJSON, genesOfInterest, gene_positions):
 
 
 def get_read_start(cigar) -> int:
-    """0-based read-region start from leading hard clips
-    (pre_processing.py:66-73)."""
+    """0-based read-region start from leading hard clips.
+
+    NOTE: N leading hard-clipped bases yield start N-1, not N — this matches
+    the reference exactly (pre_processing.py:66-73); downstream consumers
+    (allele fastq slicing, position interpolation) share the same convention,
+    so changing it would break output parity."""
     if cigar and cigar[0][0] == 5:
         return cigar[0][1] - 1
     return 0

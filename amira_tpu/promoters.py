@@ -99,7 +99,10 @@ def genotype_promoters(
         )
         if not os.path.exists(final_fasta):
             continue
-        if not closest_reference["Identity (%)"] < 100:
+        identity = closest_reference["Identity (%)"]
+        if isinstance(identity, str):  # "x/y" multi-tie rows
+            identity = float(identity.split("/")[0])
+        if not identity < 100:
             continue  # promoter identical to the reference: nothing to report
         with open(final_fasta) as i:
             content = i.read().split("\n")
