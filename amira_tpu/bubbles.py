@@ -175,18 +175,20 @@ def define_correction_operations(
                 continue
             if any(n in seen_nodes for n in lower_nodes):
                 continue
-            if path_minimizers is not None:
-                low_minimizers = get_minimizers_from_minhashes(
-                    lower_nodes, path_minimizers
-                )
-                if not low_minimizers or not high_minimizers:
-                    continue
-                inter = len(high_minimizers & low_minimizers)
-                containment = max(
-                    inter / len(low_minimizers), inter / len(high_minimizers)
-                )
-            else:
-                containment = 1.0
+            if path_minimizers is None:
+                # no sequence-similarity evidence -> no correction (the
+                # reference cannot reach this state: its None path raises;
+                # the pipeline always computes sketches)
+                continue
+            low_minimizers = get_minimizers_from_minhashes(
+                lower_nodes, path_minimizers
+            )
+            if not low_minimizers or not high_minimizers:
+                continue
+            inter = len(high_minimizers & low_minimizers)
+            containment = max(
+                inter / len(low_minimizers), inter / len(high_minimizers)
+            )
             if containment > threshold:
                 operation = (lower_tuple, higher_tuple, lower_cov, higher_cov)
                 correction_operations.add(operation)

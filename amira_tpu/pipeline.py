@@ -209,56 +209,58 @@ def run_pipeline(args) -> None:
         )
 
     mean_read_depth = 0.0
-    ingest_phase = phase("ingest_gene_calls")
-    ingest_phase.__enter__()
-    if args.pandoraJSON:
-        annotatedReads, sample_genesOfInterest, gene_position_dict = (
-            process_pandora_json(
-                args.pandoraJSON, genesOfInterest, args.gene_positions
-            )
-        )
-        annotatedReads = dict(sorted(annotatedReads.items()))
-        pandora_consensus = (
-            parse_fastq(args.pandoraConsensus) if args.pandoraConsensus else {}
-        )
-        mean_read_depth = estimate_mean_core_gene_counts(annotatedReads, core_genes)
-        sys.stderr.write(f"\namira-tpu: mean read depth = {mean_read_depth}.\n")
-    else:
-        pandora_consensus = parse_fastq(pandoraConsensus)
-        annotatedReads, sample_genesOfInterest, gene_position_dict = (
-            convert_pandora_output(
-                pandoraSam,
-                pandora_consensus,
-                genesOfInterest,
-                args.gene_min_coverage,
-                args.lower_gene_length_threshold,
-                args.upper_gene_length_threshold,
-                fastq_content,
-            )
-        )
-        annotatedReads = dict(sorted(annotatedReads.items()))
-        if args.sample_reads is True:
-            annotatedReads, mean_read_depth = (
-                subsample_reads_and_estimate_read_depth(
-                    annotatedReads, args.sample_size, core_genes, args.seed
+    ingest_cm = phase("ingest_gene_calls")
+    ingest_cm.__enter__()
+    try:
+        if args.pandoraJSON:
+            annotatedReads, sample_genesOfInterest, gene_position_dict = (
+                process_pandora_json(
+                    args.pandoraJSON, genesOfInterest, args.gene_positions
                 )
             )
-        else:
-            mean_read_depth = estimate_mean_core_gene_counts(
-                annotatedReads, core_genes
+            annotatedReads = dict(sorted(annotatedReads.items()))
+            pandora_consensus = (
+                parse_fastq(args.pandoraConsensus) if args.pandoraConsensus else {}
             )
-        write_pandora_gene_calls(
-            args.output_dir,
-            gene_position_dict,
-            annotatedReads,
-            os.path.join(args.output_dir, "gene_calls_with_gene_filtering.json"),
-            os.path.join(args.output_dir, "gene_positions_with_gene_filtering.json"),
-        )
-        sys.stderr.write(
-            f"\namira-tpu: mean read depth across core genes = {mean_read_depth}.\n"
-        )
+            mean_read_depth = estimate_mean_core_gene_counts(annotatedReads, core_genes)
+            sys.stderr.write(f"\namira-tpu: mean read depth = {mean_read_depth}.\n")
+        else:
+            pandora_consensus = parse_fastq(pandoraConsensus)
+            annotatedReads, sample_genesOfInterest, gene_position_dict = (
+                convert_pandora_output(
+                    pandoraSam,
+                    pandora_consensus,
+                    genesOfInterest,
+                    args.gene_min_coverage,
+                    args.lower_gene_length_threshold,
+                    args.upper_gene_length_threshold,
+                    fastq_content,
+                )
+            )
+            annotatedReads = dict(sorted(annotatedReads.items()))
+            if args.sample_reads is True:
+                annotatedReads, mean_read_depth = (
+                    subsample_reads_and_estimate_read_depth(
+                        annotatedReads, args.sample_size, core_genes, args.seed
+                    )
+                )
+            else:
+                mean_read_depth = estimate_mean_core_gene_counts(
+                    annotatedReads, core_genes
+                )
+            write_pandora_gene_calls(
+                args.output_dir,
+                gene_position_dict,
+                annotatedReads,
+                os.path.join(args.output_dir, "gene_calls_with_gene_filtering.json"),
+                os.path.join(args.output_dir, "gene_positions_with_gene_filtering.json"),
+            )
+            sys.stderr.write(
+                f"\namira-tpu: mean read depth across core genes = {mean_read_depth}.\n"
+            )
 
-    ingest_phase.__exit__(None, None, None)
+    finally:
+        ingest_cm.__exit__(None, None, None)
     if len(sample_genesOfInterest) == 0:
         write_empty_result(args.output_dir)
         sys.exit(0)
@@ -313,32 +315,30 @@ def run_pipeline(args) -> None:
             f"coverage < {node_min_coverage}.\n"
         )
     if args.reads is not None:
-        cleaning_phase = phase(
+        with phase(
             "graph_cleaning", items=len(new_annotatedReads), unit="reads"
-        )
-        cleaning_phase.__enter__()
-        (
-            new_annotatedReads,
-            new_gene_position_dict,
-            geneMer_size,
-            overall_mean_node_coverage,
-        ) = build_and_correct_graph(
-            new_annotatedReads,
-            new_gene_position_dict,
-            node_min_coverage,
-            fastq_content,
-            args.output_dir,
-            args.debug,
-            overall_mean_node_coverages,
-            args.cores,
-            short_reads,
-            short_read_gene_positions,
-            sample_genesOfInterest,
-            min_path_coverage,
-            args.quiet,
-            vocab,
-        )
-        cleaning_phase.__exit__(None, None, None)
+        ):
+            (
+                new_annotatedReads,
+                new_gene_position_dict,
+                geneMer_size,
+                overall_mean_node_coverage,
+            ) = build_and_correct_graph(
+                new_annotatedReads,
+                new_gene_position_dict,
+                node_min_coverage,
+                fastq_content,
+                args.output_dir,
+                args.debug,
+                overall_mean_node_coverages,
+                args.cores,
+                short_reads,
+                short_read_gene_positions,
+                sample_genesOfInterest,
+                min_path_coverage,
+                args.quiet,
+                vocab,
+            )
     else:
         geneMer_size = 3
         overall_mean_node_coverage = overall_mean_node_coverages[3]

@@ -307,29 +307,38 @@ def _cigar_to_string(cigar_tuples):
     return "".join(f"{n}{_CIGAR_CHARS[op]}" for op, n in cigar_tuples)
 
 
-def get_closest_allele_from_polished(polished_seq, references, band_width=256):
+def get_closest_allele_from_polished(
+    polished_seq, references, required_coverage, band_width=256
+):
     """Best reference for the polished allele ("allele" mode,
-    result_utils.py:345-420, 557-570)."""
+    result_utils.py:345-420, 557-570): references are partitioned into
+    coverage-valid (>= required_coverage - 0.05) and invalid sets, and the
+    tie set is taken from the valid set when any exists."""
     aligner = Aligner(references, band_width=band_width)
     hits = aligner.map_sequence(polished_seq)
-    entries = []
+    valid, invalid = [], []
     for ref, (_strand, aln) in hits.items():
         total = len(references[ref])
         prop_matching = aln.matching_bases / aln.q_len
         prop_covered = (aln.q_end - aln.q_start) / total
-        entries.append(
-            (
-                ref,
-                prop_matching,
-                total,
-                prop_covered,
-                aln.cigar_string(),
-                aln.cigar_tuples(),
-                aln,
-            )
+        entry = (
+            ref,
+            prop_matching,
+            total,
+            prop_covered,
+            aln.cigar_string(),
+            aln.cigar_tuples(),
+            aln,
         )
-    entries.sort(key=lambda x: (min(1, x[3]), x[1], x[2]), reverse=True)
-    return entries
+        if prop_covered >= required_coverage - 0.05:
+            valid.append(entry)
+        else:
+            invalid.append(entry)
+    if valid:
+        valid.sort(key=lambda x: (min(1, x[3]), x[1], x[2]), reverse=True)
+        return valid
+    invalid.sort(key=lambda x: (x[3], x[1]), reverse=True)
+    return invalid
 
 
 def _identity_from_cigartuples(cigartuples):
@@ -404,7 +413,7 @@ def compare_reads_to_references(
             [f">{valid_allele}\n{polished}"],
         )
         entries = get_closest_allele_from_polished(
-            polished, references, band_width
+            polished, references, required_coverage, band_width
         )
         if entries:
             max_similarity = entries[0][1]
