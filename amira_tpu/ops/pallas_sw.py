@@ -24,12 +24,12 @@ from amira_tpu.ops.align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH, NEG
 
 
 def _sw_kernel_body(q_ref, r_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_scr):
-    """One alignment: q (Lq,), padded ref slice, meta = [q_len, dlo]."""
-    Lq = q_ref.shape[0]
+    """One alignment: q (1, Lq), padded ref (1, R) slice, meta = [q_len, dlo]."""
+    Lq = q_ref.shape[1]
     W = m_scr.shape[1]
     neg = jnp.int32(NEG)
-    q_len = meta_ref[0]
-    dlo = meta_ref[1]
+    q_len = meta_ref[0, 0]
+    dlo = meta_ref[0, 1]
     w_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
     m_scr[...] = jnp.zeros((1, W), jnp.int32)  # virtual row -1: H = 0
@@ -44,8 +44,8 @@ def _sw_kernel_body(q_ref, r_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_sc
         M_prev = m_scr[...]
         I_prev = i_scr[...]
         D_prev = d_scr[...]
-        qc = q_ref[i]
-        rwin = r_ref[pl.ds(i + dlo + W + Lq, W)].reshape(1, W)
+        qc = q_ref[0, i]
+        rwin = r_ref[0, pl.ds(i + dlo + W + Lq, W)].reshape(1, W)
         j = i + dlo + w_idx
         in_ref = (j >= 0) & (rwin != 4)
         s = jnp.where(rwin == qc, MATCH, MISMATCH)
@@ -54,12 +54,10 @@ def _sw_kernel_body(q_ref, r_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_sc
             M_prev >= jnp.maximum(I_prev, D_prev),
             1,
             jnp.where(I_prev >= D_prev, 2, 3),
-        ).astype(jnp.uint8)
+        )
         M_diag = jnp.maximum(prev_best, 0) + s
         M_cur = jnp.maximum(0, M_diag)
-        m_bits = jnp.where((M_diag > 0) & (prev_best > 0), m_pred, 0).astype(
-            jnp.uint8
-        )
+        m_bits = jnp.where((M_diag > 0) & (prev_best > 0), m_pred, 0)
         M_cur = jnp.where(in_ref, M_cur, neg)
         # vertical (insertion): from band w+1 of the previous row
         M_up = _shift_left(M_prev, neg)
@@ -67,7 +65,7 @@ def _sw_kernel_body(q_ref, r_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_sc
         I_open = M_up - GAP_OPEN
         I_ext = I_up - GAP_EXT
         I_cur = jnp.maximum(I_open, I_ext)
-        i_bits = (I_ext >= I_open).astype(jnp.uint8) << 2
+        i_bits = jnp.where(I_ext >= I_open, 4, 0)
         I_cur = jnp.where(in_ref, I_cur, neg)
         # horizontal (deletion): prefix max via Kogge-Stone shifts
         A = M_cur + w_idx * GAP_EXT
@@ -79,16 +77,14 @@ def _sw_kernel_body(q_ref, r_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_sc
         D_cur = jnp.maximum(A_shift - GAP_OPEN - (w_idx - 1) * GAP_EXT, neg)
         D_left = _shift_right_by(D_cur, 1, neg)
         M_left = _shift_right_by(M_cur, 1, neg)
-        d_bits = ((D_left - GAP_EXT) >= (M_left - GAP_OPEN)).astype(
-            jnp.uint8
-        ) << 3
+        d_bits = jnp.where((D_left - GAP_EXT) >= (M_left - GAP_OPEN), 8, 0)
         D_cur = jnp.where(in_ref, D_cur, neg)
 
         live = i < q_len
         M_cur = jnp.where(live, M_cur, neg)
         I_cur = jnp.where(live, I_cur, neg)
         D_cur = jnp.where(live, D_cur, neg)
-        tb_ref[i, :] = (m_bits | i_bits | d_bits).reshape(W)
+        tb_ref[i, :] = (m_bits + i_bits + d_bits).reshape(W)
         m_scr[...] = M_cur
         i_scr[...] = I_cur
         d_scr[...] = D_cur
@@ -128,13 +124,17 @@ def _shift_right_by(x, n, fill):
 @partial(jax.jit, static_argnums=(4, 5))
 def pallas_banded_sw(q, r_padded, q_len, dlo, W: int, interpret: bool = False):
     """Batched Pallas banded SW; same outputs as align._batched_sw."""
+    import sys as _sys
+
+    if _sys.getrecursionlimit() < 20000:
+        _sys.setrecursionlimit(20000)  # Mosaic lowering recurses deeply
     B, Lq = q.shape
 
     def one(qi, ri, meta):
         return pl.pallas_call(
             _sw_kernel_body,
             out_shape=(
-                jax.ShapeDtypeStruct((Lq, W), jnp.uint8),
+                jax.ShapeDtypeStruct((Lq, W), jnp.int32),
                 jax.ShapeDtypeStruct((1, 4), jnp.int32),
             ),
             in_specs=[
@@ -155,9 +155,15 @@ def pallas_banded_sw(q, r_padded, q_len, dlo, W: int, interpret: bool = False):
         )(qi, ri, meta)
 
     meta = jnp.stack([q_len.astype(jnp.int32), dlo.astype(jnp.int32)], axis=-1)
-    tb, best = jax.vmap(one)(q, r_padded, meta)
+    # int32 everywhere inside the kernel: Mosaic's uint8 conversion path
+    # recurses during lowering
+    tb, best = jax.vmap(one)(
+        q[:, None, :].astype(jnp.int32),
+        r_padded[:, None, :].astype(jnp.int32),
+        meta[:, None, :],
+    )
     return (
-        tb,
+        tb.astype(jnp.uint8),
         best[:, 0, 0],
         best[:, 0, 1],
         best[:, 0, 2],

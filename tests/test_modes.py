@@ -55,6 +55,20 @@ def test_assembly_mode(tmp_path):
     assert str(df.iloc[0]["Approximate cellular copy number"]) == "N/A"
 
 
+def test_component_fastqs_mode(tmp_path):
+    files = make_isolate(str(tmp_path / "data"), seed=33, n_reads=40)
+    outdir = str(tmp_path / "out")
+    tsv = _run(
+        files, outdir,
+        extra=("--reads", files["fastq"], "--output-component-fastqs"),
+    )
+    df = pd.read_csv(tsv, sep="\t", keep_default_na=False)
+    assert "Component ID" in df.columns
+    comp_dir = os.path.join(outdir, "component_fastqs")
+    assert os.path.isdir(comp_dir)
+    assert any(f.endswith(".fastq.gz") for f in os.listdir(comp_dir))
+
+
 def test_meta_mode(tmp_path):
     files = make_isolate(str(tmp_path / "data"), seed=32, n_reads=40)
     tsv = _run(
