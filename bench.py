@@ -88,49 +88,39 @@ def _timed_builds(reads):
     return best, g
 
 
-def _device_responsive(timeout=180) -> bool:
-    """Probe the default backend in a subprocess: a wedged TPU tunnel hangs
-    forever in-process, so the probe must be killable."""
+def main():
+    """Supervisor: run the measurement in a child with a hard timeout (the
+    TPU tunnel can wedge mid-run, hanging forever in-process); on
+    failure/hang, retry on the CPU backend."""
+    import os
     import subprocess
 
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "print(int(jnp.arange(4).sum()))"
-    )
+    if os.environ.get("AMIRA_TPU_BENCH_STAGE") == "run":
+        return _run_bench()
+    env = dict(os.environ, AMIRA_TPU_BENCH_STAGE="run")
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout,
-            capture_output=True,
-        )
-        return r.returncode == 0
+        r = subprocess.run([sys.executable, __file__], env=env, timeout=1500)
+        if r.returncode == 0:
+            return
     except subprocess.TimeoutExpired:
-        return False
+        pass
+    sys.stderr.write("[bench] device run failed or hung; CPU fallback\n")
+    env["AMIRA_TPU_BENCH_CPU"] = "1"
+    raise SystemExit(
+        subprocess.run([sys.executable, __file__], env=env, timeout=3000).returncode
+    )
 
 
-def main():
+def _run_bench():
     import os
 
     import jax
 
-    if not os.environ.get("AMIRA_TPU_BENCH_CPU") and not _device_responsive():
-        sys.stderr.write("[bench] device unresponsive; using CPU backend\n")
-        os.environ["AMIRA_TPU_BENCH_CPU"] = "1"
     if os.environ.get("AMIRA_TPU_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
     reads = _load_reads()
     platform = jax.devices()[0].platform
-    try:
-        dt, g = _timed_builds(reads)
-    except Exception as e:  # device outage: re-run on the CPU backend
-        sys.stderr.write(
-            f"[bench] {platform} backend failed ({e}); CPU fallback\n"
-        )
-        import subprocess
-
-        env = dict(os.environ, AMIRA_TPU_BENCH_CPU="1")
-        raise SystemExit(
-            subprocess.run([sys.executable, __file__], env=env).returncode
-        )
+    dt, g = _timed_builds(reads)
     if os.environ.get("AMIRA_TPU_BENCH_CPU"):
         platform = "cpu-fallback"
     reads_per_sec = len(reads) / dt
