@@ -78,9 +78,13 @@ def bucket_occurrences(tokens, lengths, sel, k: int):
 
 
 def _argsort64(x):
-    """Stable argsort of nonnegative 64-bit keys as two native 32-bit stable
-    sorts (low word then high word) — v5e has no native 64-bit sort."""
+    """Stable argsort of nonnegative 64-bit keys. On TPU this is two native
+    32-bit stable sorts (low word then high word) — v5e has no native 64-bit
+    sort; the CPU backend sorts 64-bit directly (trace-time branch, so each
+    backend's HLO is unchanged by the other's path)."""
     xu = x.astype(jnp.uint64)
+    if jax.default_backend() == "cpu":
+        return jnp.argsort(xu, stable=True)
     lo = (xu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = (xu >> jnp.uint64(32)).astype(jnp.uint32)
     o = jnp.argsort(lo, stable=True)
