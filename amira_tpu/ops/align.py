@@ -326,11 +326,12 @@ class Aligner:
         {ref_name: (strand, Alignment)} keeping the best-scoring strand."""
         return self.map_reads({"q": seq}, min_seeds).get("q", {})
 
-    def _jobs_for(self, rid, seq, min_seeds):
+    def _jobs_for(self, rid, seq, min_seeds, allowed=None):
         jobs = []  # (job_tag, strand, qseq, dlo) with job_tag = (rid, ref)
+        names = self.ref_names if allowed is None else allowed
         for strand, qseq in (("+", seq), ("-", reverse_complement(seq))):
             qcodes = encode_dna(qseq)
-            for name in self.ref_names:
+            for name in names:
                 sd = _seed_diagonal(qcodes, self.ref_seed_index[name], self.seed_k)
                 if sd is None or sd[1] < min_seeds:
                     continue
@@ -408,12 +409,15 @@ class Aligner:
             )
             out.append((tag, strand, qseq, aln))
 
-    def map_reads(self, reads: dict[str, str], min_seeds: int = 2):
+    def map_reads(self, reads: dict[str, str], min_seeds: int = 2, ref_subsets=None):
         """Map many reads in shared batched kernel launches; returns
-        {read_id: {ref: (strand, Alignment)}}."""
+        {read_id: {ref: (strand, Alignment)}}. `ref_subsets` optionally
+        restricts each read to {read_id: [ref names]} (used to batch many
+        independent per-cluster mapping problems into one launch set)."""
         jobs = []
         for rid, seq in reads.items():
-            jobs.extend(self._jobs_for(rid, seq, min_seeds))
+            allowed = None if ref_subsets is None else ref_subsets.get(rid)
+            jobs.extend(self._jobs_for(rid, seq, min_seeds, allowed))
         results: dict = {}
         for (rid, name), strand, _qseq, aln in self._run_jobs(jobs):
             per_read = results.setdefault(rid, {})

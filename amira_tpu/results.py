@@ -316,6 +316,12 @@ def get_closest_allele_from_polished(
     tie set is taken from the valid set when any exists."""
     aligner = Aligner(references, band_width=band_width)
     hits = aligner.map_sequence(polished_seq)
+    return polished_entries_from_hits(hits, references, required_coverage)
+
+
+def polished_entries_from_hits(hits, references, required_coverage):
+    """Entry list for pre-computed polished->reference hits (shared between
+    the one-shot and batched allele pipelines)."""
     valid, invalid = [], []
     for ref, (_strand, aln) in hits.items():
         total = len(references[ref])
@@ -415,72 +421,88 @@ def compare_reads_to_references(
         entries = get_closest_allele_from_polished(
             polished, references, required_coverage, band_width
         )
-        if entries:
-            max_similarity = entries[0][1]
-            ties = [e for e in entries if e[1] == max_similarity]
-            if len(ties) == 1:
-                (closest_allele, _mp, match_length, coverage_proportion,
-                 cigarstring, cigartuple, _aln) = ties[0]
-                write_fasta(
-                    os.path.join(out_dir, "06.final_sequence.fasta"),
-                    [f">{closest_allele}\n{polished}"],
-                )
-                try:
-                    gene_out = closest_allele.split(".")[0]
-                    closest_ref = closest_allele.split(".")[1]
-                except IndexError:
-                    gene_out = gene_name
-                    closest_ref = closest_allele
-                phenotype = phenotypes.get(closest_allele, "")
-                identity = _identity_from_cigartuples(cigartuple)
-                return {
-                    "Determinant name": gene_out,
-                    "Sequence name": phenotype,
-                    "Closest reference": closest_ref,
-                    "Reference length": match_length,
-                    "Identity (%)": round(identity * 100, 1),
-                    "Coverage (%)": min(100.0, round(coverage_proportion * 100, 1)),
-                    "Cigar string": cigarstring,
-                    "Amira allele": allele_name,
-                    "Number of reads used for polishing": len(unique_reads),
-                }
-            else:
-                names, lens, covs, cigs, idents = [], [], [], [], []
-                for e in ties:
-                    names.append(e[0])
-                    lens.append(e[2])
-                    covs.append(e[3])
-                    cigs.append(e[4])
-                    idents.append(_identity_from_cigartuples(e[5]))
-                write_fasta(
-                    os.path.join(out_dir, "06.final_sequence.fasta"),
-                    [f">{'/'.join(names)}\n{polished}"],
-                )
-                try:
-                    gene_names = "/".join(
-                        sorted({c.split(".")[0] for c in names})
-                    )
-                    closest_refs = "/".join(c.split(".")[1] for c in names)
-                except IndexError:
-                    gene_names = gene_name
-                    closest_refs = "/".join(names)
-                phen = "/".join(phenotypes.get(c, "") for c in names)
-                return {
-                    "Determinant name": gene_names,
-                    "Sequence name": phen,
-                    "Closest reference": closest_refs,
-                    "Reference length": "/".join(str(m) for m in lens),
-                    "Identity (%)": "/".join(
-                        str(round(p * 100, 1)) for p in idents
-                    ),
-                    "Coverage (%)": "/".join(
-                        str(min(100.0, round(p * 100, 1))) for p in covs
-                    ),
-                    "Cigar string": "/".join(cigs),
-                    "Amira allele": allele_name,
-                    "Number of reads used for polishing": len(unique_reads),
-                }
-    # no valid reference: report the closest invalid one (partial rows)
+        row = _row_from_polished(
+            out_dir, gene_name, allele_name, polished, entries,
+            unique_reads, phenotypes,
+        )
+        if row is not None:
+            return row
+    return _row_fallback(
+        gene_name, allele_name, refs_sorted, unique_reads, phenotypes
+    )
+
+
+def _row_from_polished(
+    out_dir, gene_name, allele_name, polished, entries, unique_reads, phenotypes
+):
+    """Result row for a successfully polished allele, or None when no
+    reference aligned to the polished sequence (result_utils.py:566-671)."""
+    if not entries:
+        return None
+    max_similarity = entries[0][1]
+    ties = [e for e in entries if e[1] == max_similarity]
+    if len(ties) == 1:
+        (closest_allele, _mp, match_length, coverage_proportion,
+         cigarstring, cigartuple, _aln) = ties[0]
+        write_fasta(
+            os.path.join(out_dir, "06.final_sequence.fasta"),
+            [f">{closest_allele}\n{polished}"],
+        )
+        try:
+            gene_out = closest_allele.split(".")[0]
+            closest_ref = closest_allele.split(".")[1]
+        except IndexError:
+            gene_out = gene_name
+            closest_ref = closest_allele
+        phenotype = phenotypes.get(closest_allele, "")
+        identity = _identity_from_cigartuples(cigartuple)
+        return {
+            "Determinant name": gene_out,
+            "Sequence name": phenotype,
+            "Closest reference": closest_ref,
+            "Reference length": match_length,
+            "Identity (%)": round(identity * 100, 1),
+            "Coverage (%)": min(100.0, round(coverage_proportion * 100, 1)),
+            "Cigar string": cigarstring,
+            "Amira allele": allele_name,
+            "Number of reads used for polishing": len(unique_reads),
+        }
+    names, lens, covs, cigs, idents = [], [], [], [], []
+    for e in ties:
+        names.append(e[0])
+        lens.append(e[2])
+        covs.append(e[3])
+        cigs.append(e[4])
+        idents.append(_identity_from_cigartuples(e[5]))
+    write_fasta(
+        os.path.join(out_dir, "06.final_sequence.fasta"),
+        [f">{'/'.join(names)}\n{polished}"],
+    )
+    try:
+        gene_names = "/".join(sorted({c.split(".")[0] for c in names}))
+        closest_refs = "/".join(c.split(".")[1] for c in names)
+    except IndexError:
+        gene_names = gene_name
+        closest_refs = "/".join(names)
+    phen = "/".join(phenotypes.get(c, "") for c in names)
+    return {
+        "Determinant name": gene_names,
+        "Sequence name": phen,
+        "Closest reference": closest_refs,
+        "Reference length": "/".join(str(m) for m in lens),
+        "Identity (%)": "/".join(str(round(p * 100, 1)) for p in idents),
+        "Coverage (%)": "/".join(
+            str(min(100.0, round(p * 100, 1))) for p in covs
+        ),
+        "Cigar string": "/".join(cigs),
+        "Amira allele": allele_name,
+        "Number of reads used for polishing": len(unique_reads),
+    }
+
+
+def _row_fallback(gene_name, allele_name, refs_sorted, unique_reads, phenotypes):
+    """Partial result row when no coverage-valid reference or no polished
+    alignment exists (result_utils.py:672-725)."""
     if refs_sorted:
         (invalid_allele, _mp, match_length, coverage_proportion, cigarstring,
          cigartuple) = refs_sorted[0]
@@ -526,24 +548,165 @@ def get_alleles(
     required_coverage,
     debug=False,
 ):
-    """Polish-and-match every allele cluster (result_utils.py:728-765)."""
+    """Polish-and-match every allele cluster (result_utils.py:728-765).
+
+    All alleles run in lockstep so each stage (reads->references mapping, the
+    five polish iterations, polished->references matching) batches its
+    alignment jobs across every cluster into shared device launches — the
+    batched replacement for the reference's joblib process fan-out
+    (result_utils.py:746-764).
+    """
     with open(phenotypes_path) as i:
         phenotypes = json.load(i)
-    rows = []
+    base = os.path.join(output_dir, "AMR_allele_fastqs")
+    band_width = 256
+    SEP = "\x00"
+
+    # batched mapping shares one reference universe across clusters; if two
+    # genes reuse an allele name with different sequences, fall back to the
+    # per-allele pipeline to keep scoping exact
+    seen_ref: dict = {}
+    for allele_name in supplemented_clusters:
+        gene_name = "_".join(allele_name.split("_")[:-1])
+        for a, seq in reference_genes[gene_name].items():
+            if seen_ref.setdefault(a, seq) != seq:
+                rows = [
+                    compare_reads_to_references(
+                        an, rfa, base, reference_genes, fastq_content,
+                        phenotypes, required_identity, required_coverage,
+                        debug=debug,
+                    )
+                    for an, rfa in supplemented_clusters.items()
+                ]
+                return pd.DataFrame(rows)
+
+    # ---- stage 1: slice reads, write reference FASTAs, map reads against
+    # each cluster's gene references in one shared launch set
+    state: dict = {}
+    union_refs: dict = {}
+    all_read_seqs: dict = {}
+    subsets: dict = {}
     for allele_name, reads_for_allele in supplemented_clusters.items():
-        rows.append(
-            compare_reads_to_references(
-                allele_name,
-                reads_for_allele,
-                os.path.join(output_dir, "AMR_allele_fastqs"),
-                reference_genes,
-                fastq_content,
-                phenotypes,
-                required_identity,
-                required_coverage,
-                debug=debug,
-            )
+        gene_name = "_".join(allele_name.split("_")[:-1])
+        out_dir = os.path.join(base, allele_name)
+        os.makedirs(out_dir, exist_ok=True)
+        references = reference_genes[gene_name]
+        write_fasta(
+            os.path.join(out_dir, "01.reference_alleles.fasta"),
+            [f">{a}\n{s}" for a, s in references.items()],
         )
+        reads = slice_reads_for_allele(reads_for_allele, fastq_content)
+        read_seqs = {r: v["sequence"] for r, v in reads.items()}
+        state[allele_name] = {
+            "gene": gene_name,
+            "out_dir": out_dir,
+            "references": references,
+            "read_seqs": read_seqs,
+        }
+        union_refs.update(references)
+        for rid, seq in read_seqs.items():
+            key = f"{allele_name}{SEP}{rid}"
+            all_read_seqs[key] = seq
+            subsets[key] = list(references.keys())
+    union_aligner = Aligner(union_refs, band_width=band_width)
+    all_hits = union_aligner.map_reads(all_read_seqs, ref_subsets=subsets)
+    rows_by_allele: dict = {}
+    active: dict = {}  # allele -> current draft (still polishing)
+    for allele_name, st in state.items():
+        alignments = {}
+        for rid in st["read_seqs"]:
+            alignments[rid] = all_hits.get(f"{allele_name}{SEP}{rid}", {})
+        ref_allele_positions, ref_cov_proportion = _ref_pileups(
+            alignments, st["references"]
+        )
+        validity, refs_sorted, unique_reads = get_closest_allele_from_reads(
+            alignments, st["references"], ref_cov_proportion, required_coverage
+        )
+        st["refs_sorted"] = refs_sorted
+        st["unique_reads"] = unique_reads
+        if validity:
+            valid_allele = refs_sorted[0][0]
+            first_base, last_base = ref_allele_positions[valid_allele]
+            draft = st["references"][valid_allele][first_base : last_base + 1]
+            write_fasta(
+                os.path.join(st["out_dir"], "03.sequence_to_polish.fasta"),
+                [f">{valid_allele}\n{draft}"],
+            )
+            st["valid_allele"] = valid_allele
+            active[allele_name] = draft
+        else:
+            rows_by_allele[allele_name] = _row_fallback(
+                st["gene"], allele_name, refs_sorted, unique_reads, phenotypes
+            )
+
+    # ---- stage 2: five polish iterations, all active alleles per launch
+    for _ in range(5):
+        if not active:
+            break
+        draft_aligner = Aligner(
+            {a: d for a, d in active.items()}, band_width=band_width
+        )
+        it_reads: dict = {}
+        it_subsets: dict = {}
+        for allele_name in active:
+            for rid, seq in state[allele_name]["read_seqs"].items():
+                key = f"{allele_name}{SEP}{rid}"
+                it_reads[key] = seq
+                it_subsets[key] = [allele_name]
+        hits = draft_aligner.map_reads(it_reads, ref_subsets=it_subsets)
+        alns_by_allele: dict = {a: [] for a in active}
+        for key, h in hits.items():
+            allele_name = key.split(SEP, 1)[0]
+            if allele_name in h:
+                strand, aln = h[allele_name]
+                seq = it_reads[key]
+                oriented = seq if strand == "+" else reverse_complement(seq)
+                alns_by_allele[allele_name].append((strand, aln, oriented))
+        for allele_name in list(active):
+            alns = alns_by_allele[allele_name]
+            if not alns:
+                state[allele_name]["polished"] = active.pop(allele_name)
+                continue
+            new_seq = consensus_from_alignments(active[allele_name], alns)
+            if new_seq == active[allele_name]:
+                state[allele_name]["polished"] = active.pop(allele_name)
+            else:
+                active[allele_name] = new_seq
+    for allele_name, draft in active.items():
+        state[allele_name]["polished"] = draft
+
+    # ---- stage 3: polished -> references, again one shared launch set
+    polished_seqs: dict = {}
+    polished_subsets: dict = {}
+    for allele_name, st in state.items():
+        if "polished" not in st:
+            continue
+        write_fasta(
+            os.path.join(st["out_dir"], "04.polished_sequence.fasta"),
+            [f">{st['valid_allele']}\n{st['polished']}"],
+        )
+        polished_seqs[allele_name] = st["polished"]
+        polished_subsets[allele_name] = list(st["references"].keys())
+    final_hits = union_aligner.map_reads(
+        polished_seqs, ref_subsets=polished_subsets
+    )
+    for allele_name, st in state.items():
+        if "polished" not in st:
+            continue
+        entries = polished_entries_from_hits(
+            final_hits.get(allele_name, {}), st["references"], required_coverage
+        )
+        row = _row_from_polished(
+            st["out_dir"], st["gene"], allele_name, st["polished"], entries,
+            st["unique_reads"], phenotypes,
+        )
+        if row is None:
+            row = _row_fallback(
+                st["gene"], allele_name, st["refs_sorted"], st["unique_reads"],
+                phenotypes,
+            )
+        rows_by_allele[allele_name] = row
+    rows = [rows_by_allele[a] for a in supplemented_clusters]
     return pd.DataFrame(rows)
 
 
