@@ -256,16 +256,17 @@ class GeneMerGraph:
         )
         esk, eboundary, ecov, eokey_s = assemble_edge_tables(ekeys, eokey)
 
-        # ---- per-read window hash/direction arrays (uint32-split for
-        # fast tunnel transfer)
-        from amira_tpu.ops.graph_tables import join_u64, split_u64
+        # ---- per-read window hash/direction arrays: one packed uint32
+        # transfer per bucket (tunnel round trips dominate the TPU build)
+        from amira_tpu.ops.graph_tables import join_u64, pack_bucket
 
         win_hash = {}
         win_dir = {}
         for lb, (sel, dev_h, dev_d, W) in host_win.items():
-            lo, hi = split_u64(dev_h)
-            hh = join_u64(np.asarray(lo), np.asarray(hi)).reshape(-1, W)
-            dd = np.asarray(dev_d).reshape(-1, W)
+            packed = np.asarray(pack_bucket(dev_h, dev_d))
+            n = packed.shape[0] // 3
+            hh = join_u64(packed[:n], packed[n : 2 * n]).reshape(-1, W)
+            dd = (packed[2 * n :].astype(np.int8) - 1).reshape(-1, W)
             for row, s in enumerate(sel):
                 w = int(kept_len[s]) - (k - 1)
                 win_hash[int(s)] = hh[row, :w]
@@ -283,28 +284,30 @@ class GeneMerGraph:
             else:
                 self._readNodePositions[rid] = [None] * len(wh)
 
-        # ---- compact tables on device, transfer only C-sized arrays
-        from amira_tpu.ops.graph_tables import (
-            _count_true,
-            compact_edge_tables,
-            compact_node_tables,
-            compact_pair_tables,
-        )
+        # ---- compact tables on device; counts in one round trip, the whole
+        # table set in one more
+        from amira_tpu.ops.graph_tables import compact_all, count_true3
 
-        n_nodes = int(_count_true(boundary))
-        n_pairs = int(_count_true(pboundary))
-        n_edges = int(_count_true(eboundary))
+        n_nodes, n_pairs, n_edges = (
+            int(x) for x in np.asarray(count_true3(boundary, pboundary, eboundary))
+        )
         Cn = _bucket(n_nodes, 256)
         Cp = _bucket(n_pairs, 256)
         Ce = _bucket(max(n_edges, 1), 256)
-        h_lo, h_hi, k_lo, k_hi, covs = compact_node_tables(
-            sh, boundary, run_key, run_cov, Cn
+        packed_tables = np.asarray(
+            compact_all(
+                sh, boundary, run_key, run_cov,
+                pboundary, pair_run, pair_read,
+                esk, eboundary, ecov, eokey_s,
+                Cn, Cp, Ce,
+            )
         )
-        node_hashes = join_u64(np.asarray(h_lo), np.asarray(h_hi))[:n_nodes]
-        node_keys = join_u64(np.asarray(k_lo), np.asarray(k_hi))[
-            :n_nodes
-        ].astype(np.int64)
-        node_covs = np.asarray(covs)[:n_nodes]
+        nt = packed_tables[: 5 * Cn].reshape(5, Cn)
+        pt = packed_tables[5 * Cn : 5 * Cn + 2 * Cp].reshape(2, Cp)
+        et = packed_tables[5 * Cn + 2 * Cp :].reshape(5, Ce)
+        node_hashes = join_u64(nt[0], nt[1])[:n_nodes]
+        node_keys = join_u64(nt[2], nt[3])[:n_nodes].astype(np.int64)
+        node_covs = nt[4][:n_nodes]
         first_read = (node_keys >> 22).astype(np.int64)
         first_w = ((node_keys >> 1) & ((1 << 21) - 1)).astype(np.int64)
 
@@ -323,9 +326,8 @@ class GeneMerGraph:
             self._nodes[node.hash] = node
 
         # ---- reads per node (compact pair tables, already (run, read) sorted)
-        prun_c, pread_c = compact_pair_tables(pboundary, pair_run, pair_read, Cp)
-        prun = np.asarray(prun_c)[:n_pairs].astype(np.int64)
-        pread = np.asarray(pread_c)[:n_pairs].astype(np.int64)
+        prun = pt[0][:n_pairs].astype(np.int64)
+        pread = pt[1][:n_pairs].astype(np.int64)
         kept_arr = np.array(kept_ids, dtype=object)
         read_objs = kept_arr[pread]
         bounds = np.searchsorted(prun, np.arange(n_nodes + 1))
@@ -338,14 +340,9 @@ class GeneMerGraph:
         # ---- edge table (endpoints reconstructed from the first-occurrence
         # order key: read index, window, fwd/rev slot)
         if n_edges:
-            ek_lo, ek_hi, ecov_c, eo_lo, eo_hi = compact_edge_tables(
-                esk, eboundary, ecov, eokey_s, Ce
-            )
-            ekey_vals = join_u64(np.asarray(ek_lo), np.asarray(ek_hi))[:n_edges]
-            ecov_vals = np.asarray(ecov_c)[:n_edges]
-            eokey_vals = join_u64(np.asarray(eo_lo), np.asarray(eo_hi))[
-                :n_edges
-            ].astype(np.int64)
+            ekey_vals = join_u64(et[0], et[1])[:n_edges]
+            ecov_vals = et[2][:n_edges]
+            eokey_vals = join_u64(et[3], et[4])[:n_edges].astype(np.int64)
             e_read = (eokey_vals >> 22).astype(np.int64)
             e_w = ((eokey_vals >> 1) & ((1 << 21) - 1)).astype(np.int64)
             e_rev = (eokey_vals & 1).astype(bool)

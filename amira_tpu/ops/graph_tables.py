@@ -148,6 +148,46 @@ def _count_true(mask):
 
 
 @jax.jit
+def count_true3(m1, m2, m3):
+    """Three boundary counts in one device round trip."""
+    return jnp.stack(
+        [
+            jnp.sum(m1.astype(jnp.int32)),
+            jnp.sum(m2.astype(jnp.int32)),
+            jnp.sum(m3.astype(jnp.int32)),
+        ]
+    )
+
+
+@partial(jax.jit, static_argnames=("Cn", "Cp", "Ce"))
+def compact_all(
+    sh, boundary, run_key, run_cov,
+    pboundary, pair_run, pair_read,
+    esk, eboundary, ecov, eokey,
+    Cn: int, Cp: int, Ce: int,
+):
+    """All three compactions concatenated into ONE uint32 buffer, so the
+    whole table set crosses the tunnel in a single transfer.
+
+    Layout: [node h_lo|h_hi|k_lo|k_hi|cov (5*Cn)] [pair run|read (2*Cp)]
+            [edge k_lo|k_hi|cov|o_lo|o_hi (5*Ce)]
+    """
+    n = compact_node_tables(sh, boundary, run_key, run_cov, Cn)
+    p = compact_pair_tables(pboundary, pair_run, pair_read, Cp)
+    e = compact_edge_tables(esk, eboundary, ecov, eokey, Ce)
+    return jnp.concatenate(list(n) + list(p) + list(e))
+
+
+@jax.jit
+def pack_bucket(occ_hash, occ_dir):
+    """Per-bucket read-window arrays as one uint32 buffer:
+    [hash_lo | hash_hi | dir+1]."""
+    lo, hi = split_u64(occ_hash)
+    d = (occ_dir.astype(jnp.int32) + 1).astype(jnp.uint32)
+    return jnp.concatenate([lo, hi, d])
+
+
+@jax.jit
 def split_u64(x):
     """uint64 -> (lo, hi) uint32 pair (uint32 crosses the device tunnel ~6x
     faster than 64-bit types)."""
