@@ -168,13 +168,14 @@ def _sliding_windows(arr2d: np.ndarray, k: int) -> np.ndarray:
 
 
 class GeneMerGraph:
-    def __init__(self, readDict, kmerSize, gene_positions=None, vocab=None):
+    def __init__(self, readDict, kmerSize, gene_positions=None, vocab=None, cache=None):
         self._reads = dict(readDict)
         self._kmerSize = int(kmerSize)
         self._genePositions = gene_positions
         self._minNodeCoverage = 1
         self._minEdgeCoverage = 1
         self.vocab = vocab if vocab is not None else GeneVocab()
+        self._cache = cache
         self._nodes: dict[int, Node] = {}
         self._edges: dict[int, Edge] = {}
         self._readNodes: dict[str, list] = {}
@@ -182,7 +183,10 @@ class GeneMerGraph:
         self._readNodePositions: dict[str, list] = {}
         self._shortReads: dict[str, list] = {}
         self._readsToCorrect: set[str] = set()
-        self._build()
+        if cache is not None:
+            self._build_cached()
+        else:
+            self._build()
 
     # ------------------------------------------------------------------ build
 
@@ -365,6 +369,205 @@ class GeneMerGraph:
                     lst.append(key)
 
         self.assign_component_ids()
+
+    # -------------------------------------------------- incremental build
+
+    def _build_cached(self):
+        """Build via the incremental cache (amira_tpu/graph_cache.py).
+
+        Device kernels run only for reads whose gene annotation changed since
+        they were last seen at this k; node/edge/coverage tables are
+        re-aggregated from cached per-read occurrence vectors with vectorized
+        host group-bys. Produces a graph identical (including dict insertion
+        order and per-node read/edge-list order) to _build()."""
+        k = self._kmerSize
+        cache = self._cache
+        store = cache.store(k)
+        read_ids = list(self._reads.keys())
+        if not read_ids:
+            return
+        has_pos = self._genePositions is not None
+
+        kept_ids: list[str] = []
+        entries: list = []
+        miss_pos: list[int] = []
+        for rid in read_ids:
+            genes = self._reads[rid]
+            if len(genes) < k:
+                self._shortReads[rid] = genes
+                continue
+            e = store.get(rid)
+            if e is None or e.genes != genes:
+                e = None
+            kept_ids.append(rid)
+            entries.append(e)
+            if e is None:
+                miss_pos.append(len(kept_ids) - 1)
+        if not kept_ids:
+            return
+        cache.hits += len(kept_ids) - len(miss_pos)
+        cache.misses += len(miss_pos)
+
+        if miss_pos:
+            self._compute_cache_misses(store, kept_ids, entries, miss_pos, k)
+
+        # ---- per-read tables from cached templates
+        rn, rd, rp = self._readNodes, self._readNodeDirections, self._readNodePositions
+        if has_pos:
+            gpos = self._genePositions
+        for i, rid in enumerate(kept_ids):
+            e = entries[i]
+            rn[rid] = e.nodes_tpl[:]
+            rd[rid] = e.dirs_tpl[:]
+            if has_pos:
+                pos = gpos[rid]
+                if e.pos_src is not pos:
+                    e.pos_tpl = [
+                        (pos[j][0], pos[j + k - 1][1])
+                        for j in range(len(e.nodes_tpl))
+                    ]
+                    e.pos_src = pos
+                rp[rid] = e.pos_tpl[:]
+            else:
+                rp[rid] = [None] * len(e.nodes_tpl)
+
+        # ---- node tables: group occurrences by hash on the host
+        wh_list = [e.wh for e in entries]
+        n_entries = len(wh_list)
+        wlens = np.fromiter((len(w) for w in wh_list), np.int64, n_entries)
+        offs = np.zeros(n_entries + 1, np.int64)
+        np.cumsum(wlens, out=offs[1:])
+        occ = np.concatenate(wh_list)
+        uh, first_idx, inv, counts = np.unique(
+            occ, return_index=True, return_inverse=True, return_counts=True
+        )
+        n_nodes = len(uh)
+        f_read = np.searchsorted(offs, first_idx, side="right") - 1
+        f_w = first_idx - offs[f_read]
+
+        nodes_in_run_order = []
+        uh_l = uh.tolist()
+        covs_l = counts.tolist()
+        for gi, (ri, wi) in enumerate(zip(f_read.tolist(), f_w.tolist())):
+            e = entries[ri]
+            wtok = e.tok[wi : wi + k]
+            canon = wtok if int(e.wd[wi]) == 1 else reverse_tokens(wtok)
+            node = Node(uh_l[gi], np.ascontiguousarray(canon))
+            node.coverage = covs_l[gi]
+            nodes_in_run_order.append(node)
+        # insertion order = first-occurrence order (reference read-major)
+        for gi in np.argsort(first_idx, kind="stable").tolist():
+            node = nodes_in_run_order[gi]
+            self._nodes[node.hash] = node
+
+        # ---- reads per node: unique (node-run, read) pairs
+        occ_read = np.repeat(np.arange(n_entries, dtype=np.int64), wlens)
+        pair_key = (inv.astype(np.uint64) << np.uint64(32)) | occ_read.astype(
+            np.uint64
+        )
+        upairs = np.unique(pair_key)
+        prun = (upairs >> np.uint64(32)).astype(np.int64)
+        pread = (upairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        kept_arr = np.array(kept_ids, dtype=object)
+        read_objs = kept_arr[pread]
+        bounds = np.searchsorted(prun, np.arange(n_nodes + 1))
+        for gi in range(n_nodes):
+            node = nodes_in_run_order[gi]
+            rids = read_objs[bounds[gi] : bounds[gi + 1]].tolist()
+            node.reads = rids
+            node._read_set = set(rids)
+
+        # ---- edge tables
+        ek_list = [e.ek for e in entries]
+        eocc = np.concatenate(ek_list)
+        if eocc.size:
+            elens = np.fromiter((len(x) for x in ek_list), np.int64, n_entries)
+            eoffs = np.zeros(n_entries + 1, np.int64)
+            np.cumsum(elens, out=eoffs[1:])
+            uek, e_first, e_counts = np.unique(
+                eocc, return_index=True, return_counts=True
+            )
+            er = np.searchsorted(eoffs, e_first, side="right") - 1
+            ej = e_first - eoffs[er]
+            uek_l = uek.tolist()
+            ecov_l = e_counts.tolist()
+            er_l = er.tolist()
+            ej_l = ej.tolist()
+            for gi in np.argsort(e_first, kind="stable").tolist():
+                ri, j = er_l[gi], ej_l[gi]
+                wi, rev = j >> 1, j & 1
+                e = entries[ri]
+                src_h, tgt_h = int(e.wh[wi]), int(e.wh[wi + 1])
+                src_d, tgt_d = int(e.wd[wi]), int(e.wd[wi + 1])
+                if rev:
+                    src_h, tgt_h = tgt_h, src_h
+                    src_d, tgt_d = -tgt_d, -src_d
+                key = uek_l[gi]
+                edge = Edge(key, src_h, tgt_h, src_d, tgt_d)
+                edge.coverage = ecov_l[gi]
+                self._edges[key] = edge
+                src_node = self._nodes[src_h]
+                lst = src_node.fwd_edges if src_d == 1 else src_node.bwd_edges
+                if key not in lst:
+                    lst.append(key)
+
+        self.assign_component_ids()
+
+    def _compute_cache_misses(self, store, kept_ids, entries, miss_pos, k):
+        """Device windowing + edge-key pass for the reads not in the cache,
+        bucketed by length; fills `store` and `entries`."""
+        from amira_tpu.graph_cache import CacheEntry
+        from amira_tpu.ops.graph_tables import join_u64, pack_windows_edges
+
+        genes_list = [self._reads[kept_ids[i]] for i in miss_pos]
+        tok_list = self.vocab.encode_reads_batch(genes_list)
+        lens = np.fromiter((len(t) for t in tok_list), np.int64, len(tok_list))
+        order = np.argsort(lens, kind="stable")
+        i = 0
+        while i < len(order):
+            lb = _bucket(int(lens[order[i]]))
+            j = i
+            while j < len(order) and _bucket(int(lens[order[j]])) == lb:
+                j += 1
+            sel = order[i:j]
+            i = j
+            btoks = [tok_list[s] for s in sel]
+            tokens, klengths = pack_reads(btoks, pad_to=lb)
+            n_pad = _bucket(len(btoks)) - len(btoks)
+            if n_pad:
+                tokens = np.vstack(
+                    [tokens, np.zeros((n_pad, lb), dtype=np.int32)]
+                )
+                klengths = np.concatenate([klengths, np.zeros(n_pad, np.int32)])
+            buf = np.asarray(pack_windows_edges(tokens, klengths, k))
+            R = tokens.shape[0]
+            W = lb - k + 1
+            n1 = R * W
+            h = join_u64(buf[:n1], buf[n1 : 2 * n1]).reshape(R, W)
+            d = (buf[2 * n1 : 3 * n1].astype(np.int8) - 1).reshape(R, W)
+            if W >= 2:
+                n2 = R * 2 * (W - 1)
+                ek = join_u64(
+                    buf[3 * n1 : 3 * n1 + n2], buf[3 * n1 + n2 :]
+                ).reshape(R, -1)
+            else:
+                ek = np.zeros((R, 0), np.uint64)
+            for row, s in enumerate(sel.tolist()):
+                kp = miss_pos[s]
+                rid = kept_ids[kp]
+                Wt = len(tok_list[s]) - (k - 1)
+                e = CacheEntry()
+                e.genes = list(self._reads[rid])
+                e.tok = tok_list[s]
+                e.wh = np.ascontiguousarray(h[row, :Wt])
+                e.wd = np.ascontiguousarray(d[row, :Wt])
+                e.ek = np.ascontiguousarray(ek[row, : 2 * (Wt - 1)])
+                e.nodes_tpl = e.wh.tolist()
+                e.dirs_tpl = e.wd.tolist()
+                e.pos_src = None
+                e.pos_tpl = None
+                store[rid] = e
+                entries[kp] = e
 
     # ------------------------------------------------------------- accessors
 

@@ -1,0 +1,63 @@
+"""Incremental graph-build cache.
+
+The cleaning pipeline rebuilds the gene-mer graph dozens of times on read
+sets that change only marginally between iterations (SURVEY §3.3; reference
+amira/graph_utils.py:127-181 rebuilds from scratch each time). The cache
+keeps, per (k, read):
+
+  * the device-computed canonical window hash / direction vectors,
+  * the canonical edge keys of adjacent window pairs,
+  * the tokenized read,
+  * ready-to-copy per-read Python table rows (node list, direction list,
+    windowed gene positions).
+
+A rebuild then only dispatches device kernels for reads whose gene
+annotation actually changed (typically a few percent per cleaning
+iteration), and the global node/edge/coverage tables are re-aggregated from
+the cached occurrence vectors with vectorized host group-bys (np.unique)
+instead of a full device round trip per iteration — the per-window hashing
+stays on the accelerator, the incremental merge bookkeeping stays on the
+host.
+
+Entries are validated by comparing a snapshot of the gene list (and, for
+positions, the identity of the position list object — corrected reads always
+receive fresh list objects, see amira_tpu/correct.py), so a stale hit is
+impossible as long as callers never mutate a read's gene list in place.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class CacheEntry:
+    __slots__ = (
+        "genes",  # snapshot copy of the stranded gene strings
+        "tok",  # np.int32 (L,) signed gene tokens
+        "wh",  # np.uint64 (W,) canonical window hashes
+        "wd",  # np.int8  (W,) window directions (+1/-1)
+        "ek",  # np.uint64 (2*(W-1),) interleaved fwd/rev edge keys
+        "nodes_tpl",  # list[int] — template for _readNodes rows
+        "dirs_tpl",  # list[int] — template for _readNodeDirections rows
+        "pos_src",  # the gene-position list object the template was cut from
+        "pos_tpl",  # list[tuple] — template for _readNodePositions rows
+    )
+
+
+class GraphBuildCache:
+    """Per-(k, read_id) cache of device window computations.
+
+    One instance lives for a pipeline run and is shared by every
+    GeneMerGraph the run constructs (all k values).
+    """
+
+    def __init__(self):
+        self._by_k: dict[int, dict[str, CacheEntry]] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def store(self, k: int) -> dict[str, CacheEntry]:
+        return self._by_k.setdefault(int(k), {})
+
+    def clear(self):
+        self._by_k.clear()

@@ -16,8 +16,8 @@ import numpy as np
 from amira_tpu.graph import GeneMerGraph
 
 
-def build_graph(read_dict, kmer_size, gene_positions=None, vocab=None):
-    return GeneMerGraph(read_dict, kmer_size, gene_positions, vocab=vocab)
+def build_graph(read_dict, kmer_size, gene_positions=None, vocab=None, cache=None):
+    return GeneMerGraph(read_dict, kmer_size, gene_positions, vocab=vocab, cache=cache)
 
 
 def iterative_bubble_popping(
@@ -35,6 +35,7 @@ def iterative_bubble_popping(
     min_path_coverage,
     vocab=None,
     quiet=True,
+    cache=None,
 ):
     """Iterate {rebuild, filter, correct, trim tips, pop bubbles} until the
     node count stops changing (amira/graph_utils.py:127-181)."""
@@ -46,14 +47,14 @@ def iterative_bubble_popping(
                 f"\namira-tpu: graph cleaning iteration {this_iteration + 1}\n"
             )
         graph = build_graph(
-            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab
+            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, cache
         )
         graph.filter_graph(node_min_coverage, 1)
         new_annotatedReads, new_gene_position_dict = graph.correct_reads(
             fastq_content
         )
         graph = build_graph(
-            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab
+            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, cache
         )
         if len(graph.get_nodes()) == prev_nodes:
             break
@@ -65,7 +66,7 @@ def iterative_bubble_popping(
             fastq_content
         )
         graph = build_graph(
-            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab
+            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, cache
         )
         short_reads.update(graph.get_short_read_annotations())
         short_read_gene_positions.update(graph.get_short_read_gene_positions())
@@ -151,6 +152,7 @@ def choose_kmer_size(
     new_gene_position_dict,
     sample_genesOfInterest,
     vocab=None,
+    cache=None,
 ):
     """Largest odd k in [3, 15] such that every component keeps >= 80% of its
     AMR reads with >= 2k-1 genes (amira/graph_utils.py:258-296); k=3 when
@@ -159,7 +161,7 @@ def choose_kmer_size(
     if overall_mean_node_coverage >= 20:
         for k in range(3, 16, 2):
             graph = build_graph(
-                dict(new_annotatedReads), k, dict(new_gene_position_dict), vocab
+                dict(new_annotatedReads), k, dict(new_gene_position_dict), vocab, cache
             )
             amr_nodes = {
                 n.hash

@@ -77,6 +77,36 @@ def bucket_occurrences(tokens, lengths, sel, k: int):
     return occ_hash, occ_dir, occ_read, occ_key, ekeys, eokey
 
 
+@partial(jax.jit, static_argnames=("k",))
+def pack_windows_edges(tokens, lengths, k: int):
+    """Per-read window hashes/directions plus interleaved canonical edge keys
+    for one length bucket, packed into a single 1-D uint32 buffer (one
+    transfer per bucket — tunnel round trips dominate small launches):
+
+      [h_lo (R*W) | h_hi (R*W) | dir+1 (R*W) | ek_lo (R*2(W-1)) | ek_hi (…)]
+
+    Feeds the incremental build cache (amira_tpu/graph_cache.py): the host
+    slices each row to the read's true window count, so padded slots never
+    need masking.
+    """
+    win = genemer_windows(tokens, lengths, k)
+    nh, nd = win["node_hash"], win["direction"]
+    R, W = nh.shape
+    lo, hi = split_u64(nh)
+    d = (nd.astype(jnp.int32) + 1).astype(jnp.uint32)
+    parts = [lo.reshape(-1), hi.reshape(-1), d.reshape(-1)]
+    if W >= 2:
+        src_h, tgt_h = nh[:, :-1], nh[:, 1:]
+        src_d = nd[:, :-1].astype(jnp.int8)
+        tgt_d = nd[:, 1:].astype(jnp.int8)
+        e1 = edge_key(src_h, src_d, tgt_h, tgt_d)
+        e2 = edge_key(tgt_h, -tgt_d, src_h, -src_d)
+        ek = jnp.stack([e1, e2], -1).reshape(R, -1)
+        eklo, ekhi = split_u64(ek)
+        parts += [eklo.reshape(-1), ekhi.reshape(-1)]
+    return jnp.concatenate(parts)
+
+
 def _argsort64(x):
     """Stable argsort of nonnegative 64-bit keys. On TPU this is two native
     32-bit stable sorts (low word then high word) — v5e has no native 64-bit

@@ -49,6 +49,7 @@ from amira_tpu.results import (
     write_reads_per_AMR_gene,
 )
 from amira_tpu.tracing import TIMER, phase
+from amira_tpu.graph_cache import GraphBuildCache
 from amira_tpu.vocab import GeneVocab
 
 
@@ -99,10 +100,11 @@ def build_and_correct_graph(
     min_path_coverage,
     quiet,
     vocab,
+    cache=None,
 ):
     """k=3 pre-clean + k selection + iterative bubble popping
     (__main__.py:337-414)."""
-    graph = build_graph(new_annotatedReads, 3, new_gene_position_dict, vocab)
+    graph = build_graph(new_annotatedReads, 3, new_gene_position_dict, vocab, cache)
     short_reads.update(graph.get_short_read_annotations())
     short_read_gene_positions.update(graph.get_short_read_gene_positions())
     graph.remove_low_coverage_components(5)
@@ -116,7 +118,7 @@ def build_and_correct_graph(
             os.path.join(output_dir, "mid_correction_gene_calls.json"),
             os.path.join(output_dir, "mid_correction_gene_positions.json"),
         )
-    graph = build_graph(new_annotatedReads, 3, new_gene_position_dict, vocab)
+    graph = build_graph(new_annotatedReads, 3, new_gene_position_dict, vocab, cache)
     short_reads.update(graph.get_short_read_annotations())
     short_read_gene_positions.update(graph.get_short_read_gene_positions())
     graph.filter_graph(node_min_coverage, 1)
@@ -133,6 +135,7 @@ def build_and_correct_graph(
         new_gene_position_dict,
         sample_genesOfInterest,
         vocab,
+        cache,
     )
     overall_mean_node_coverage = overall_mean_node_coverages[geneMer_size]
     if not quiet:
@@ -156,6 +159,7 @@ def build_and_correct_graph(
         min_path_coverage,
         vocab,
         quiet,
+        cache,
     )
     return (
         new_annotatedReads,
@@ -268,10 +272,11 @@ def run_pipeline(args) -> None:
         plot_read_length_distribution(annotatedReads, args.output_dir)
 
     vocab = GeneVocab()
+    build_cache = GraphBuildCache()
     if not args.quiet:
         sys.stderr.write("\namira-tpu: building initial gene-mer graph.\n")
     with phase("initial_graph_build", items=len(annotatedReads), unit="reads"):
-        graph = build_graph(annotatedReads, 3, gene_position_dict, vocab)
+        graph = build_graph(annotatedReads, 3, gene_position_dict, vocab, build_cache)
     if args.debug:
         for node in graph.all_nodes():
             graph.color_node(node, sample_genesOfInterest)
@@ -290,7 +295,7 @@ def run_pipeline(args) -> None:
         new_annotatedReads, new_gene_position_dict = graph.correct_reads(
             fastq_content
         )
-        graph = build_graph(new_annotatedReads, 3, new_gene_position_dict, vocab)
+        graph = build_graph(new_annotatedReads, 3, new_gene_position_dict, vocab, build_cache)
     else:
         new_annotatedReads = dict(annotatedReads)
         new_gene_position_dict = dict(gene_position_dict)
@@ -338,6 +343,7 @@ def run_pipeline(args) -> None:
                 min_path_coverage,
                 args.quiet,
                 vocab,
+                build_cache,
             )
     else:
         geneMer_size = 3
@@ -347,7 +353,7 @@ def run_pipeline(args) -> None:
         sys.stderr.write("\namira-tpu: building corrected gene-mer graph.\n")
     with phase("final_graph_build", items=len(new_annotatedReads), unit="reads"):
         graph = build_graph(
-            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab
+            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, build_cache
         )
     write_pandora_gene_calls(
         args.output_dir,
