@@ -40,30 +40,68 @@ def identify_potential_bubble_starts(graph):
     return out
 
 
+def find_paths_to_junctions(graph, start_hash, start_dir, junctions, distance):
+    """One bounded DFS from (start, dir) collecting every simple path that
+    lands on any junction in `junctions`, grouped by the end node.
+
+    Equivalent to running graph.new_find_paths_between_nodes once per
+    ordered (start, stop) junction pair (construct_graph.py:2292-2342) —
+    the per-pair searches traverse identical trees and differ only in where
+    they record, so a single traversal that records at every junction yields
+    exactly the union — at 1/J the cost for J junctions."""
+    results: dict = {}
+    nodes = graph.get_nodes()
+    edges = graph.get_edges()
+    stack = [(start_hash, start_dir, [(start_hash, start_dir)], {start_hash})]
+    while stack:
+        h, d, path, seen = stack.pop()
+        if h != start_hash and h in junctions and len(path) <= distance:
+            results.setdefault(h, []).append(path)
+        if len(path) - 1 > distance:
+            continue
+        node = nodes.get(h)
+        if node is None:
+            continue
+        edge_keys = node.fwd_edges if d == 1 else node.bwd_edges if d == -1 else []
+        for key in edge_keys:
+            edge = edges[key]
+            nxt = edge.tgt
+            if nxt in seen:
+                continue
+            stack.append(
+                (nxt, edge.tgt_dir, path + [(nxt, edge.tgt_dir)], seen | {nxt})
+            )
+    return results
+
+
 def get_all_paths_between_junctions_in_component(
     graph, bubble_starts, max_distance
 ):
     """All direction-consistent simple paths (>1 alternative) between ordered
     junction pairs, canonicalized (construct_graph.py:2066-2098)."""
     unique_paths = set()
+    junction_hashes = {h for h, _d in bubble_starts}
+    stop_dirs: dict = {}
+    for h, d in bubble_starts:
+        stop_dirs.setdefault(h, []).append(d)
     for start_hash, start_dir in bubble_starts:
-        for stop_hash, stop_dir in bubble_starts:
-            if start_hash == stop_hash:
+        by_stop = find_paths_to_junctions(
+            graph, start_hash, start_dir, junction_hashes, max_distance
+        )
+        for stop_hash, paths in by_stop.items():
+            if stop_hash == start_hash:
                 continue
-            paths = graph.new_find_paths_between_nodes(
-                start_hash, stop_hash, max_distance, start_dir
-            )
-            valid = []
-            for p in paths:
-                if p[0] != (start_hash, start_dir) or len(p) < 2:
-                    continue
-                end_dir = graph.get_direction_between_two_nodes(p[-2][0], p[-1][0])
-                if (p[-1][0], end_dir) == (stop_hash, stop_dir):
-                    valid.append(p)
-            if len(valid) > 1:
-                for p in valid:
-                    rc = list(reversed([(t[0], t[1] * -1) for t in p]))
-                    unique_paths.add(tuple(sorted([p, rc])[0]))
+            evaluated = [
+                (p, graph.get_direction_between_two_nodes(p[-2][0], p[-1][0]))
+                for p in paths
+                if len(p) >= 2
+            ]
+            for stop_dir in stop_dirs[stop_hash]:
+                valid = [p for p, end_dir in evaluated if end_dir == stop_dir]
+                if len(valid) > 1:
+                    for p in valid:
+                        rc = list(reversed([(t[0], t[1] * -1) for t in p]))
+                        unique_paths.add(tuple(sorted([p, rc])[0]))
     return list(unique_paths)
 
 
