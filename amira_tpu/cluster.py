@@ -118,10 +118,10 @@ def cluster_adjacent_paths(adjacent_paths, upstream: bool):
 
 
 def get_all_context_options(nodes_on_read, start, end):
-    up = nodes_on_read[:start]
-    up_options = {tuple(up[-i:]) for i in range(1, len(up) + 1)}
-    down = nodes_on_read[end + 1 :]
-    down_options = {tuple(down[:i]) for i in range(1, len(down) + 1)}
+    up = tuple(nodes_on_read[:start])
+    up_options = {up[i:] for i in range(len(up))}
+    down = tuple(nodes_on_read[end + 1 :])
+    down_options = {down[:i] for i in range(1, len(down) + 1)}
     up_options.add(())
     down_options.add(())
     return up_options, down_options
@@ -131,9 +131,21 @@ def get_canonical_representation(block):
     return sorted([block, list(reversed(block))])[0]
 
 
-def _get_full_path_contexts(positions_of_path, contexts, reads, read_id, block_reads):
+def _get_full_path_contexts(
+    positions_of_path, contexts, reads, read_id, block_reads, ctx_memo=None
+):
     start, end = positions_of_path[0]
-    up_options, down_options = get_all_context_options(reads[read_id], start, end)
+    if ctx_memo is None:
+        up_options, down_options = get_all_context_options(reads[read_id], start, end)
+    else:
+        # the same (read, span) is revisited for every anchor pair whose
+        # block lands on it; the option sets are immutable tuples -> memoize
+        memo_key = (read_id, start, end)
+        cached = ctx_memo.get(memo_key)
+        if cached is None:
+            cached = get_all_context_options(reads[read_id], start, end)
+            ctx_memo[memo_key] = cached
+        up_options, down_options = cached
     canonical = get_canonical_representation(block_reads[read_id])
     canonical_tuple = tuple(canonical)
     if canonical == block_reads[read_id]:
@@ -167,7 +179,7 @@ def get_blocks_from_index(suffix_index: SequenceIndex, a2, nodeAnchors):
     return block_reads, block_duplicates
 
 
-def generate_contexts(block_reads, block_duplicates, reads):
+def generate_contexts(block_reads, block_duplicates, reads, ctx_memo=None):
     contexts: dict = {}
     for read_id in block_reads:
         block = block_reads[read_id]
@@ -178,7 +190,7 @@ def generate_contexts(block_reads, block_duplicates, reads):
             block_duplicates[canonical_tuple] = True
         if len(positions_of_path) == 1:
             _get_full_path_contexts(
-                positions_of_path, contexts, reads, read_id, block_reads
+                positions_of_path, contexts, reads, read_id, block_reads, ctx_memo
             )
     return contexts
 
@@ -200,13 +212,16 @@ def generate_full_paths(contexts, block_duplicates, full_blocks, node_index, thr
                     full_blocks[tuple(f)] = reads_with_full_path
 
 
-def process_anchors(suffix_index, nodeAnchors, a1, full_blocks, reads, node_index, threshold):
+def process_anchors(
+    suffix_index, nodeAnchors, a1, full_blocks, reads, node_index, threshold,
+    ctx_memo=None,
+):
     for a2 in nodeAnchors:
         if a1 != a2:
             block_reads, block_duplicates = get_blocks_from_index(
                 suffix_index, a2, nodeAnchors
             )
-            contexts = generate_contexts(block_reads, block_duplicates, reads)
+            contexts = generate_contexts(block_reads, block_duplicates, reads, ctx_memo)
             generate_full_paths(
                 contexts, block_duplicates, full_blocks, node_index, threshold
             )
@@ -262,13 +277,15 @@ def get_full_paths(
     """Anchor-pair context discovery -> clustered full paths -> the
     differentiating gene window per block (construct_graph.py:2725-2782)."""
     full_blocks: dict = {}
+    ctx_memo: dict = {}
     for a1 in nodeAnchors:
         suffixes = node_index.suffixes_from(a1)
         reversed_suffixes = {r: list(reversed(s)) for r, s in suffixes.items()}
-        sub_index = SequenceIndex(reversed_suffixes)
+        # the sub-index is only ever queried by single anchor symbols
+        sub_index = SequenceIndex(reversed_suffixes, symbols=nodeAnchors)
         process_anchors(
             sub_index, nodeAnchors, a1, full_blocks, node_index.sequences,
-            node_index, threshold,
+            node_index, threshold, ctx_memo,
         )
     gene_index = SequenceIndex(gene_call_subset)
     gene_blocks: dict = {}
@@ -357,6 +374,13 @@ def split_into_subpaths(
     if mean_node_coverage is None:
         mean_node_coverage = graph.get_mean_node_coverage()
     read_tracking: dict = {}
+    # every differentiating path contains the gene of interest, so only
+    # reads carrying the gene can match it (fw or rc) — prefilter once
+    candidate_reads = [
+        read_id
+        for read_id, genes in graph.get_reads().items()
+        if any(g[1:] == geneOfInterest for g in genes)
+    ]
     for path in pathsOfInterest:
         modified_path = list(path)
         genes_in_path = list(path)
@@ -373,7 +397,7 @@ def split_into_subpaths(
                 modified_path[g] = f"{genes_in_path[g][0]}{name}"
                 allele_count += 1
         modified_path = tuple(modified_path)
-        for read_id in graph.get_reads():
+        for read_id in candidate_reads:
             genes_on_read = graph.get_reads()[read_id]
             if is_sublist(genes_on_read, genes_in_path):
                 positions_of_path = find_sublist_indices(genes_on_read, genes_in_path)

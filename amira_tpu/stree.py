@@ -40,13 +40,22 @@ class SequenceIndex:
         occurrence of `symbol` (get_suffixes_from_initial_tree semantics).
     """
 
-    def __init__(self, sequences: dict):
+    def __init__(self, sequences: dict, symbols=None):
+        """`symbols`: optional set restricting which symbols get posting
+        lists — queries must then only start with an indexed symbol (used by
+        the anchor sub-indexes, which are only ever queried by anchor)."""
         self.sequences = {k: list(v) for k, v in sequences.items()}
         # posting lists: symbol -> list of (seq_id, position)
         self._postings: dict = {}
-        for sid, seq in self.sequences.items():
-            for i, sym in enumerate(seq):
-                self._postings.setdefault(sym, []).append((sid, i))
+        if symbols is None:
+            for sid, seq in self.sequences.items():
+                for i, sym in enumerate(seq):
+                    self._postings.setdefault(sym, []).append((sid, i))
+        else:
+            for sid, seq in self.sequences.items():
+                for i, sym in enumerate(seq):
+                    if sym in symbols:
+                        self._postings.setdefault(sym, []).append((sid, i))
 
     def find_all(self, pattern):
         """Every (seq_id, start_index) where pattern occurs contiguously."""
