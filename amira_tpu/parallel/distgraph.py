@@ -179,6 +179,146 @@ def make_distributed_genemer_step_2d(mesh, k: int, capacity: int):
     return jax.jit(step)
 
 
+def make_distributed_genemer_step_3d(mesh, k: int, capacity: int):
+    """Hierarchical gene-mer counting over a ("host", "data", "table") mesh —
+    the multi-host (BASELINE config 5) layout.
+
+    Axis roles: "host" models the DCN boundary between v5e hosts; "data" and
+    "table" are the intra-host ICI axes. Reads shard data-parallel over all
+    three axes. Each device routes hashes to the table-partition owner inside
+    its host (all_to_all over "table", rides ICI), counts its partition, then
+    merges the data-axis partials over ICI — producing one deduplicated
+    per-host table per partition. Only THEN does the "host" axis merge run
+    (all_gather over DCN + re-count): hierarchical merging ships deduplicated
+    tables across the slow axis instead of raw occurrence streams, which is
+    the collective equivalent of the reference's shard merge
+    (amira/graph_utils.py:17-102) with its coverage adds.
+    """
+    shard_map = jax.shard_map
+    T = mesh.shape["table"]
+
+    def shard_step(tokens, lengths):
+        win = genemer_windows(tokens, lengths, k)
+        nh = jnp.where(win["valid"], win["node_hash"], 0).reshape(-1)
+        dest = (nh % jnp.uint64(T)).astype(jnp.int32)
+        dest = jnp.where(nh == 0, T, dest)
+        send_cap = max(nh.shape[0] // T * 2, 128)
+        order = jnp.argsort(dest, stable=True)
+        sd = dest[order]
+        sh_sorted = nh[order]
+        first_of_dest = jnp.searchsorted(sd, jnp.arange(T + 1, dtype=jnp.int32))
+        send = jnp.zeros((T, send_cap + 1), dtype=jnp.uint64)
+        idx_in_bucket = jnp.arange(sd.shape[0]) - first_of_dest[
+            jnp.clip(sd, 0, T)
+        ]
+        ok = (sd < T) & (idx_in_bucket < send_cap)
+        send = send.at[
+            jnp.where(ok, sd, 0), jnp.where(ok, idx_in_bucket, send_cap)
+        ].set(jnp.where(ok, sh_sorted, 0))
+        send = send[:, :send_cap]
+        recv = jax.lax.all_to_all(send, "table", 0, 0, tiled=False)
+        mine = recv.reshape(-1)
+        local_keys, local_counts = bounded_count(
+            mine, jnp.ones(mine.shape[0], jnp.int32), capacity
+        )
+        # intra-host merge over ICI
+        d_keys = jax.lax.all_gather(local_keys, "data").reshape(-1)
+        d_counts = jax.lax.all_gather(local_counts, "data").reshape(-1)
+        host_keys, host_counts = bounded_count(d_keys, d_counts, capacity)
+        # cross-host merge over DCN (deduplicated tables only)
+        h_keys = jax.lax.all_gather(host_keys, "host").reshape(-1)
+        h_counts = jax.lax.all_gather(host_counts, "host").reshape(-1)
+        merged_keys, merged_counts = bounded_count(h_keys, h_counts, capacity)
+        total = jax.lax.psum(
+            jax.lax.psum(
+                jax.lax.psum(jnp.sum(local_counts), "table"), "data"
+            ),
+            "host",
+        )
+        return merged_keys[None, :], merged_counts[None, :], total
+
+    step = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(("host", "data", "table")), P(("host", "data", "table"))),
+        out_specs=(P("table"), P("table"), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def distributed_node_counts_3d(
+    read_tokens: np.ndarray, lengths: np.ndarray, k: int, mesh,
+    capacity: int = 1 << 16,
+):
+    """Host entry for the ("host", "data", "table") mesh."""
+    n_dev = mesh.devices.size
+    R = read_tokens.shape[0]
+    pad = (-R) % n_dev
+    if pad:
+        read_tokens = np.vstack(
+            [read_tokens, np.zeros((pad, read_tokens.shape[1]), read_tokens.dtype)]
+        )
+        lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
+    step = make_distributed_genemer_step_3d(mesh, k, capacity)
+    sharding = jax.sharding.NamedSharding(mesh, P(("host", "data", "table")))
+    keys, counts, total = step(
+        jax.device_put(read_tokens, sharding),
+        jax.device_put(lengths, sharding),
+    )
+    keys = np.asarray(keys).reshape(-1)
+    counts = np.asarray(counts).reshape(-1)
+    mask = keys != 0
+    return keys[mask], counts[mask], int(np.asarray(total).reshape(-1)[0])
+
+
+def scaling_report(
+    read_tokens: np.ndarray,
+    lengths: np.ndarray,
+    k: int = 3,
+    capacity: int = 1 << 14,
+    repeats: int = 3,
+):
+    """Weak-scaling efficiency over 1, 2, 4, ... available devices
+    (BASELINE config 5's scaling-efficiency report).
+
+    Returns a list of {n_devices, reads_per_sec, efficiency} dicts;
+    efficiency = throughput / (n * single-device throughput).
+    """
+    import time
+
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    rows = []
+    base = None
+    n = 1
+    while n <= len(devices):
+        mesh = Mesh(np.array(devices[:n]).reshape(n), ("data",))
+        # replicate the workload per shard: weak scaling
+        tok = np.tile(read_tokens, (n, 1))
+        lens = np.tile(lengths, n)
+        distributed_node_counts(tok, lens, k, mesh, capacity)  # warm/compile
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            distributed_node_counts(tok, lens, k, mesh, capacity)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        rps = tok.shape[0] / best
+        if base is None:
+            base = rps
+        rows.append(
+            {
+                "n_devices": n,
+                "reads_per_sec": round(rps, 1),
+                "efficiency": round(rps / (n * base), 3),
+            }
+        )
+        n *= 2
+    return rows
+
+
 def distributed_node_counts_2d(
     read_tokens: np.ndarray, lengths: np.ndarray, k: int, mesh,
     capacity: int = 1 << 16,

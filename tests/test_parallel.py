@@ -124,3 +124,50 @@ def test_graft_entry():
     assert all(o.shape[0] > 0 for o in out)
     n = min(4, len(jax.devices()))
     ge.dryrun_multichip(n)
+
+
+def test_3d_mesh_hierarchical_merge_matches_serial():
+    """("host", "data", "table") hierarchical merge returns the same global
+    count table as a single-device count."""
+    from amira_tpu.parallel.distgraph import distributed_node_counts_3d
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("need 8 devices")
+    mesh = Mesh(np.array(devices[:8]).reshape(2, 2, 2), ("host", "data", "table"))
+    rng = np.random.RandomState(7)
+    R, L, k = 64, 12, 3
+    tokens = (
+        rng.randint(1, 30, size=(R, L)).astype(np.int32)
+        * rng.choice([-1, 1], size=(R, L)).astype(np.int32)
+    )
+    lengths = rng.randint(k, L + 1, size=(R,)).astype(np.int32)
+    keys, counts, total = distributed_node_counts_3d(
+        tokens, lengths, k, mesh, capacity=1 << 10
+    )
+    expected_total = int(np.maximum(lengths - (k - 1), 0).sum())
+    assert total == expected_total
+    # serial oracle on one device
+    tk, tc, _ek, _ec = local_genemer_tables(tokens, lengths, k, 1 << 12)
+    tk, tc = np.asarray(tk), np.asarray(tc)
+    serial = dict(zip(tk[tk != 0].tolist(), tc[tk != 0].tolist()))
+    dist = dict(zip(keys.tolist(), counts.tolist()))
+    assert dist == serial
+
+
+def test_scaling_report_shape():
+    from amira_tpu.parallel.distgraph import scaling_report
+
+    if len(jax.devices()) < 2:
+        pytest.skip("need 2 devices")
+    rng = np.random.RandomState(1)
+    tokens = (
+        rng.randint(1, 30, size=(32, 12)).astype(np.int32)
+        * rng.choice([-1, 1], size=(32, 12)).astype(np.int32)
+    )
+    lengths = rng.randint(3, 13, size=(32,)).astype(np.int32)
+    rows = scaling_report(tokens, lengths, k=3, capacity=1 << 10, repeats=1)
+    assert rows[0]["n_devices"] == 1
+    assert rows[0]["efficiency"] == 1.0
+    assert all(r["reads_per_sec"] > 0 for r in rows)
+    assert len(rows) >= 2
