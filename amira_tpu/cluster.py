@@ -251,20 +251,24 @@ def get_all_sublists(gene_index: SequenceIndex, lst, threshold, geneOfInterest):
     path_finding_utils.py:296-310). One shared index replaces the
     per-worker suffix-tree rebuilds."""
     sublists = {}
-    lst_count = lst.count(f"+{geneOfInterest}") + lst.count(f"-{geneOfInterest}")
-    for i in range(1, len(lst) + 1):
-        for start in range(len(lst) - i + 1):
-            comb = tuple(lst[start : start + i])
-            comb_count = comb.count(f"+{geneOfInterest}") + comb.count(
-                f"-{geneOfInterest}"
-            )
-            if comb_count == lst_count:
-                reads_with_path = {
-                    str(sid).replace("_reverse", "")
-                    for sid in gene_index.find_ids(list(comb))
-                }
-                if len(reads_with_path) >= threshold:
-                    sublists[comb] = len(reads_with_path)
+    fw, bw = f"+{geneOfInterest}", f"-{geneOfInterest}"
+    copy_idx = [i for i, g in enumerate(lst) if g == fw or g == bw]
+    if not copy_idx:
+        return sublists
+    # a window contains every copy of the gene iff it spans
+    # [first_copy, last_copy] — enumerate exactly those windows instead of
+    # all O(L^2) windows (identical key set: windows are dict keys, so
+    # duplicate contents collapse either way)
+    first, last = copy_idx[0], copy_idx[-1]
+    for start in range(first + 1):
+        for end in range(last, len(lst)):
+            comb = tuple(lst[start : end + 1])
+            reads_with_path = {
+                str(sid).replace("_reverse", "")
+                for sid in gene_index.find_ids(list(comb))
+            }
+            if len(reads_with_path) >= threshold:
+                sublists[comb] = len(reads_with_path)
     return sublists
 
 
