@@ -45,6 +45,7 @@ class SequenceIndex:
         lists — queries must then only start with an indexed symbol (used by
         the anchor sub-indexes, which are only ever queried by anchor)."""
         self.sequences = {k: list(v) for k, v in sequences.items()}
+        self._restricted = symbols is not None
         # posting lists: symbol -> list of (seq_id, position)
         self._postings: dict = {}
         if symbols is None:
@@ -58,17 +59,35 @@ class SequenceIndex:
                         self._postings.setdefault(sym, []).append((sid, i))
 
     def find_all(self, pattern):
-        """Every (seq_id, start_index) where pattern occurs contiguously."""
+        """Every (seq_id, start_index) where pattern occurs contiguously.
+
+        Probes the posting list of the RAREST symbol in the pattern and
+        verifies the window around each occurrence — the same match set (and
+        the same (insertion, position) output order) as probing the first
+        symbol, at a fraction of the candidates when the pattern contains a
+        low-frequency node/gene. Restricted indexes fall back to the first
+        symbol (other symbols have no postings by construction)."""
         pattern = list(pattern)
         if not pattern:
             return []
-        first = pattern[0]
         m = len(pattern)
+        probe_at = 0
+        if not self._restricted and m > 1:
+            best = len(self._postings.get(pattern[0], ()))
+            for k in range(1, m):
+                sz = len(self._postings.get(pattern[k], ()))
+                if sz < best:
+                    probe_at, best = k, sz
+                    if sz == 0:
+                        break
         out = []
-        for sid, pos in self._postings.get(first, ()):
+        for sid, pos in self._postings.get(pattern[probe_at], ()):
+            start = pos - probe_at
+            if start < 0:
+                continue
             seq = self.sequences[sid]
-            if seq[pos : pos + m] == pattern:
-                out.append((sid, pos))
+            if seq[start : start + m] == pattern:
+                out.append((sid, start))
         return out
 
     def find_ids(self, pattern) -> set:
