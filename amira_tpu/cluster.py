@@ -154,12 +154,20 @@ def _get_full_path_contexts(
         contexts[canonical_tuple]["upstream"].update(up_options)
         contexts[canonical_tuple]["downstream"].update(down_options)
     else:
-        # reverse orientation: swap and reverse the context options. The
-        # reference overwrites here rather than updating
-        # (path_finding_utils.py:155-166); mirrored for parity.
+        # reverse orientation: swap and reverse the context options.
+        # The reference overwrites the context sets here instead of
+        # accumulating (path_finding_utils.py:153-162), which makes the
+        # result depend on which orientation its sha256 hash order happens
+        # to canonicalize to (reads processed later erase earlier reads'
+        # diverging contexts). The behavior its test corpus pins down
+        # (test_path_finding.py:743, diverging terminals -> 2 paths) needs
+        # every read's contexts, so we accumulate symmetrically.
+        if canonical_tuple not in contexts:
+            contexts[canonical_tuple] = {"upstream": set(), "downstream": set()}
         rv_up = {tuple(reversed(list(u))) for u in up_options}
         rv_down = {tuple(reversed(list(d))) for d in down_options}
-        contexts[canonical_tuple] = {"upstream": rv_down, "downstream": rv_up}
+        contexts[canonical_tuple]["upstream"].update(rv_down)
+        contexts[canonical_tuple]["downstream"].update(rv_up)
 
 
 def get_blocks_from_index(suffix_index: SequenceIndex, a2, nodeAnchors):

@@ -477,7 +477,8 @@ class GeneMerGraph:
             node.reads = rids
             node._read_set = set(rids)
 
-        # ---- edge tables
+        # ---- edge tables (endpoints gathered vectorized from the window
+        # streams; per-edge numpy scalar indexing is ~10x slower)
         ek_list = [e.ek for e in entries]
         eocc = np.concatenate(ek_list)
         if eocc.size:
@@ -489,21 +490,21 @@ class GeneMerGraph:
             )
             er = np.searchsorted(eoffs, e_first, side="right") - 1
             ej = e_first - eoffs[er]
+            base = offs[er] + (ej >> 1)
+            wd_cat = np.concatenate([e.wd for e in entries]).astype(np.int64)
+            rev = (ej & 1).astype(bool)
+            w0_h, w1_h = occ[base], occ[base + 1]
+            w0_d, w1_d = wd_cat[base], wd_cat[base + 1]
+            src_hs = np.where(rev, w1_h, w0_h).tolist()
+            tgt_hs = np.where(rev, w0_h, w1_h).tolist()
+            src_ds = np.where(rev, -w1_d, w0_d).tolist()
+            tgt_ds = np.where(rev, -w0_d, w1_d).tolist()
             uek_l = uek.tolist()
             ecov_l = e_counts.tolist()
-            er_l = er.tolist()
-            ej_l = ej.tolist()
             for gi in np.argsort(e_first, kind="stable").tolist():
-                ri, j = er_l[gi], ej_l[gi]
-                wi, rev = j >> 1, j & 1
-                e = entries[ri]
-                src_h, tgt_h = int(e.wh[wi]), int(e.wh[wi + 1])
-                src_d, tgt_d = int(e.wd[wi]), int(e.wd[wi + 1])
-                if rev:
-                    src_h, tgt_h = tgt_h, src_h
-                    src_d, tgt_d = -tgt_d, -src_d
                 key = uek_l[gi]
-                edge = Edge(key, src_h, tgt_h, src_d, tgt_d)
+                src_h, src_d = src_hs[gi], src_ds[gi]
+                edge = Edge(key, src_h, tgt_hs[gi], src_d, tgt_ds[gi])
                 edge.coverage = ecov_l[gi]
                 self._edges[key] = edge
                 src_node = self._nodes[src_h]
