@@ -515,14 +515,39 @@ class GeneMerGraph:
         self.assign_component_ids()
 
     def _compute_cache_misses(self, store, kept_ids, entries, miss_pos, k):
-        """Device windowing + edge-key pass for the reads not in the cache,
-        bucketed by length; fills `store` and `entries`."""
+        """Windowing + edge-key pass for the reads not in the cache; fills
+        `store` and `entries`. Large batches run on the device (bucketed by
+        length); small ones on the host NumPy mirror — a tunnel dispatch
+        costs 0.3-0.5s flat, so the few-percent rebuild churn of a cleaning
+        iteration is far cheaper off-device (ops/host_tables.py,
+        bit-identical by fuzz test)."""
         from amira_tpu.graph_cache import CacheEntry
         from amira_tpu.ops.graph_tables import join_u64, pack_windows_edges
+        from amira_tpu.ops.host_tables import (
+            HOST_BATCH_GENE_LIMIT,
+            host_windows_edges,
+        )
 
         genes_list = [self._reads[kept_ids[i]] for i in miss_pos]
         tok_list = self.vocab.encode_reads_batch(genes_list)
         lens = np.fromiter((len(t) for t in tok_list), np.int64, len(tok_list))
+        if int(lens.sum()) <= HOST_BATCH_GENE_LIMIT:
+            for s, (wh, wd, ek) in enumerate(host_windows_edges(tok_list, k)):
+                kp = miss_pos[s]
+                rid = kept_ids[kp]
+                e = CacheEntry()
+                e.genes = list(self._reads[rid])
+                e.tok = tok_list[s]
+                e.wh = wh
+                e.wd = wd
+                e.ek = ek
+                e.nodes_tpl = wh.tolist()
+                e.dirs_tpl = wd.tolist()
+                e.pos_src = None
+                e.pos_tpl = None
+                store[rid] = e
+                entries[kp] = e
+            return
         order = np.argsort(lens, kind="stable")
         i = 0
         while i < len(order):
