@@ -73,6 +73,9 @@ def run_isolate(argv: list[str], device=None) -> dict:
         # the pipeline exits 0 early when no AMR genes survive — that is a
         # valid per-isolate outcome, not a batch failure
         status = "ok" if e.code in (None, 0) else f"exit {e.code}"
+    except Exception as e:  # noqa: BLE001 — one bad isolate must not sink the batch
+        status = f"error: {type(e).__name__}: {e}"
+        sys.stderr.write(f"\namira-tpu batch: isolate failed ({status}): {argv}\n")
     return {
         "output": args.output_dir,
         "status": status,

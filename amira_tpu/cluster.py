@@ -262,6 +262,15 @@ def get_all_sublists(gene_index: SequenceIndex, lst, threshold, geneOfInterest):
     fw, bw = f"+{geneOfInterest}", f"-{geneOfInterest}"
     copy_idx = [i for i, g in enumerate(lst) if g == fw or g == bw]
     if not copy_idx:
+        # blocks are anchored on nodes containing the gene, so a block gene
+        # list without it should be unreachable; log loudly rather than
+        # silently dropping the block if that assumption ever breaks
+        import sys
+
+        sys.stderr.write(
+            f"\namira-tpu: WARNING: block without {geneOfInterest} in "
+            "sublist support search; block skipped.\n"
+        )
         return sublists
     # a window contains every copy of the gene iff it spans
     # [first_copy, last_copy] — enumerate exactly those windows instead of

@@ -382,6 +382,7 @@ class GeneMerGraph:
         order and per-node read/edge-list order) to _build()."""
         k = self._kmerSize
         cache = self._cache
+        cache.bind_vocab(self.vocab)
         store = cache.store(k)
         read_ids = list(self._reads.keys())
         if not read_ids:

@@ -55,9 +55,24 @@ class GraphBuildCache:
         self._by_k: dict[int, dict[str, CacheEntry]] = {}
         self.hits = 0
         self.misses = 0
+        self.vocab = None  # the GeneVocab all cached tokens were produced by
+
+    def bind_vocab(self, vocab):
+        """Pin the cache to the vocab of its first build; cached token/hash
+        vectors are meaningless under any other vocab, so reuse with a
+        different instance is an error rather than a silently wrong graph."""
+        if self.vocab is None:
+            self.vocab = vocab
+        elif self.vocab is not vocab:
+            raise ValueError(
+                "GraphBuildCache was built with a different GeneVocab; pass "
+                "the same vocab to every build that shares this cache (or "
+                "use a fresh cache)."
+            )
 
     def store(self, k: int) -> dict[str, CacheEntry]:
         return self._by_k.setdefault(int(k), {})
 
     def clear(self):
         self._by_k.clear()
+        self.vocab = None

@@ -52,3 +52,25 @@ def test_batch_cli_manifest(tmp_path):
         json.dump(manifest, fh)
     main([mpath, "--workers", "1", "--quiet"])
     assert os.path.exists(os.path.join(outdir, "iso1", "amira_results.tsv"))
+
+
+def test_batch_survives_one_bad_isolate(tmp_path):
+    """A failing isolate records an error summary instead of sinking the
+    batch (one bad manifest entry must not discard completed isolates)."""
+    from amira_tpu.batch import run_batch
+
+    manifest = [
+        {
+            "name": "broken",
+            "pandoraJSON": "/does/not/exist.json",
+            "gene-positions": "/does/not/exist_pos.json",
+            "reads": "/does/not/exist.fastq",
+            "species": "Escherichia_coli",
+            "amr-fasta": "/does/not/exist.fa",
+            "output": str(tmp_path / "broken"),
+            "quiet": True,
+        }
+    ]
+    summaries = run_batch(manifest, str(tmp_path), workers=1, quiet=True)
+    assert len(summaries) == 1
+    assert summaries[0]["status"].startswith("error:")

@@ -115,3 +115,15 @@ def test_cache_is_per_k():
         plain = GeneMerGraph(calls, k, positions, vocab=vocab)
         cached = GeneMerGraph(calls, k, positions, vocab=vocab, cache=cache)
         assert_graphs_identical(plain, cached)
+
+
+def test_cache_rejects_foreign_vocab():
+    """Cached token/hash vectors are vocab-specific; reusing the cache with a
+    different GeneVocab must fail loudly instead of building a wrong graph."""
+    calls, positions = _fixture("nine")
+    cache = GraphBuildCache()
+    v1 = GeneVocab()
+    GeneMerGraph(calls, 3, positions, vocab=v1, cache=cache)
+    GeneMerGraph(calls, 3, positions, vocab=v1, cache=cache)  # same vocab ok
+    with pytest.raises(ValueError):
+        GeneMerGraph(calls, 3, positions, vocab=GeneVocab(), cache=cache)
