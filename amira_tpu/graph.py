@@ -176,17 +176,63 @@ class GeneMerGraph:
         self._minEdgeCoverage = 1
         self.vocab = vocab if vocab is not None else GeneVocab()
         self._cache = cache
-        self._nodes: dict[int, Node] = {}
-        self._edges: dict[int, Edge] = {}
-        self._readNodes: dict[str, list] = {}
-        self._readNodeDirections: dict[str, list] = {}
-        self._readNodePositions: dict[str, list] = {}
+        self._nodes_d: dict[int, Node] = {}
+        self._edges_d: dict[int, Edge] = {}
+        self._readNodes_d: dict[str, list] = {}
+        self._readNodeDirections_d: dict[str, list] = {}
+        self._readNodePositions_d: dict[str, list] = {}
         self._shortReads: dict[str, list] = {}
         self._readsToCorrect: set[str] = set()
+        # Cached builds are LAZY: only flat numpy tables are aggregated up
+        # front; the Node/Edge object graph and per-read lists materialize on
+        # first dict access. The tensor cleaning path (amira_tpu/clean.py)
+        # works off the tables and never pays for materialization.
+        self._lazy: dict | None = None
         if cache is not None:
             self._build_cached()
         else:
             self._build()
+
+    # ---------------------------------------------------- lazy materialization
+
+    @property
+    def _nodes(self) -> dict[int, Node]:
+        if self._lazy is not None:
+            self._materialize()
+        return self._nodes_d
+
+    @property
+    def _edges(self) -> dict[int, Edge]:
+        if self._lazy is not None:
+            self._materialize()
+        return self._edges_d
+
+    @property
+    def _readNodes(self) -> dict[str, list]:
+        if self._lazy is not None:
+            self._materialize()
+        return self._readNodes_d
+
+    @property
+    def _readNodeDirections(self) -> dict[str, list]:
+        if self._lazy is not None:
+            self._materialize()
+        return self._readNodeDirections_d
+
+    @property
+    def _readNodePositions(self) -> dict[str, list]:
+        if self._lazy is not None:
+            self._materialize()
+        return self._readNodePositions_d
+
+    @property
+    def is_lazy(self) -> bool:
+        return self._lazy is not None
+
+    def lazy_tables(self) -> dict | None:
+        """The flat aggregation tables of a lazy cached build (see
+        _build_cached), or None once materialized/for device builds."""
+        return self._lazy
 
     # ------------------------------------------------------------------ build
 
@@ -412,14 +458,141 @@ class GeneMerGraph:
         if miss_pos:
             self._compute_cache_misses(store, kept_ids, entries, miss_pos, k)
 
+        # ---- aggregation: group window occurrences by hash on the host.
+        # Plain sort + searchsorted + bincount (no stable argsort, which is
+        # what makes np.unique(return_index/inverse) 3-4x slower); the
+        # first-occurrence map is computed lazily (_first_occurrence) via a
+        # reversed fancy-scatter. Everything beyond these flat tables
+        # (Node/Edge objects, per-read template lists, reads-per-node) is
+        # deferred to _materialize().
+        wh_list = [e.wh for e in entries]
+        n_entries = len(wh_list)
+        wlens = np.fromiter((len(w) for w in wh_list), np.int64, n_entries)
+        offs = np.zeros(n_entries + 1, np.int64)
+        np.cumsum(wlens, out=offs[1:])
+        occ = np.concatenate(wh_list)
+        uh = np.unique(occ)
+        inv = np.searchsorted(uh, occ)
+        counts = np.bincount(inv, minlength=len(uh))
+        self._lazy = {
+            "entries": entries,
+            "kept_ids": kept_ids,
+            "occ": occ,
+            "offs": offs,
+            "wlens": wlens,
+            "uh": uh,
+            "inv": inv,
+            "counts": counts,
+            "first_idx": None,
+            "edges": None,
+        }
+
+    def _first_occurrence(self):
+        """first_idx/f_read/f_w of the lazy tables: index of each unique
+        node's first occurrence in the concatenated window stream (defines
+        the reference's read-major insertion order). Reversed fancy-scatter:
+        with repeated indices the LAST write wins, so scattering positions
+        in reverse leaves the minimum."""
+        lz = self._lazy
+        if lz["first_idx"] is None:
+            occ_n = len(lz["occ"])
+            first = np.empty(len(lz["uh"]), np.int64)
+            first[lz["inv"][::-1]] = np.arange(occ_n - 1, -1, -1, np.int64)
+            lz["first_idx"] = first
+            f_read = np.searchsorted(lz["offs"], first, side="right") - 1
+            lz["f_read"] = f_read
+            lz["f_w"] = first - lz["offs"][f_read]
+        return lz["first_idx"]
+
+    def _edge_table(self):
+        """Unique-edge arrays of a lazy build: (uek, cov, first_occ, src_h,
+        tgt_h, src_d, tgt_d, src_idx, tgt_idx), endpoints gathered vectorized
+        from the window streams (per-edge numpy scalar indexing is ~10x
+        slower). src_idx/tgt_idx index the sorted unique-node table `uh`.
+        Cached in the lazy state; `first_occ` orders edges by first
+        occurrence."""
+        lz = self._lazy
+        if lz["edges"] is None:
+            entries = lz["entries"]
+            n_entries = len(entries)
+            occ, offs, inv = lz["occ"], lz["offs"], lz["inv"]
+            ek_list = [e.ek for e in entries]
+            eocc = np.concatenate(ek_list) if ek_list else np.zeros(0, np.uint64)
+            if eocc.size:
+                elens = np.fromiter(
+                    (len(x) for x in ek_list), np.int64, n_entries
+                )
+                eoffs = np.zeros(n_entries + 1, np.int64)
+                np.cumsum(elens, out=eoffs[1:])
+                uek = np.unique(eocc)
+                e_inv = np.searchsorted(uek, eocc)
+                e_counts = np.bincount(e_inv, minlength=len(uek))
+                e_first = np.empty(len(uek), np.int64)
+                e_first[e_inv[::-1]] = np.arange(len(eocc) - 1, -1, -1, np.int64)
+                er = np.searchsorted(eoffs, e_first, side="right") - 1
+                ej = e_first - eoffs[er]
+                base = offs[er] + (ej >> 1)
+                wd_cat = np.concatenate([e.wd for e in entries]).astype(np.int64)
+                rev = (ej & 1).astype(bool)
+                w0_h, w1_h = occ[base], occ[base + 1]
+                w0_d, w1_d = wd_cat[base], wd_cat[base + 1]
+                w0_i, w1_i = inv[base], inv[base + 1]
+                src_hs = np.where(rev, w1_h, w0_h)
+                tgt_hs = np.where(rev, w0_h, w1_h)
+                src_ds = np.where(rev, -w1_d, w0_d)
+                tgt_ds = np.where(rev, -w0_d, w1_d)
+                src_is = np.where(rev, w1_i, w0_i).astype(np.int64)
+                tgt_is = np.where(rev, w0_i, w1_i).astype(np.int64)
+            else:
+                z64 = np.zeros(0, np.int64)
+                uek = np.zeros(0, np.uint64)
+                e_counts, e_first = z64, z64
+                src_hs = tgt_hs = uek
+                src_ds = tgt_ds = src_is = tgt_is = z64
+            lz["edges"] = (
+                uek, e_counts, e_first, src_hs, tgt_hs, src_ds, tgt_ds,
+                src_is, tgt_is,
+            )
+        return lz["edges"]
+
+    def node_tokens_for(self, node_hashes):
+        """Canonical signed token arrays for node hashes of a LAZY build
+        (first-occurrence extraction, same as Node.tokens)."""
+        self._first_occurrence()
+        lz = self._lazy
+        k = self._kmerSize
+        idx = np.searchsorted(lz["uh"], np.asarray(node_hashes, dtype=np.uint64))
+        out = []
+        for j, h in zip(idx.tolist(), node_hashes):
+            e = lz["entries"][int(lz["f_read"][j])]
+            wi = int(lz["f_w"][j])
+            wtok = e.tok[wi : wi + k]
+            out.append(
+                np.ascontiguousarray(
+                    wtok if int(e.wd[wi]) == 1 else reverse_tokens(wtok)
+                )
+            )
+        return out
+
+    def _materialize(self):
+        """Build the Node/Edge object graph + per-read lists from the lazy
+        aggregation tables. Produces exactly the structures (including dict
+        insertion order and per-node read/edge-list order) the eager build
+        produced before laziness was introduced."""
+        self._first_occurrence()
+        lz, self._lazy = self._lazy, None
+        k = self._kmerSize
+        entries, kept_ids = lz["entries"], lz["kept_ids"]
+        has_pos = self._genePositions is not None
+
         # ---- per-read tables from cached templates
-        rn, rd, rp = self._readNodes, self._readNodeDirections, self._readNodePositions
+        rn, rd, rp = self._readNodes_d, self._readNodeDirections_d, self._readNodePositions_d
         if has_pos:
             gpos = self._genePositions
         for i, rid in enumerate(kept_ids):
             e = entries[i]
-            rn[rid] = e.nodes_tpl[:]
-            rd[rid] = e.dirs_tpl[:]
+            rn[rid] = e.nodes_list()[:]
+            rd[rid] = e.dirs_list()[:]
             if has_pos:
                 pos = gpos[rid]
                 if e.pos_src is not pos:
@@ -432,20 +605,9 @@ class GeneMerGraph:
             else:
                 rp[rid] = [None] * len(e.nodes_tpl)
 
-        # ---- node tables: group occurrences by hash on the host
-        wh_list = [e.wh for e in entries]
-        n_entries = len(wh_list)
-        wlens = np.fromiter((len(w) for w in wh_list), np.int64, n_entries)
-        offs = np.zeros(n_entries + 1, np.int64)
-        np.cumsum(wlens, out=offs[1:])
-        occ = np.concatenate(wh_list)
-        uh, first_idx, inv, counts = np.unique(
-            occ, return_index=True, return_inverse=True, return_counts=True
-        )
+        uh, first_idx, counts = lz["uh"], lz["first_idx"], lz["counts"]
+        f_read, f_w = lz["f_read"], lz["f_w"]
         n_nodes = len(uh)
-        f_read = np.searchsorted(offs, first_idx, side="right") - 1
-        f_w = first_idx - offs[f_read]
-
         nodes_in_run_order = []
         uh_l = uh.tolist()
         covs_l = counts.tolist()
@@ -459,11 +621,12 @@ class GeneMerGraph:
         # insertion order = first-occurrence order (reference read-major)
         for gi in np.argsort(first_idx, kind="stable").tolist():
             node = nodes_in_run_order[gi]
-            self._nodes[node.hash] = node
+            self._nodes_d[node.hash] = node
 
         # ---- reads per node: unique (node-run, read) pairs
-        occ_read = np.repeat(np.arange(n_entries, dtype=np.int64), wlens)
-        pair_key = (inv.astype(np.uint64) << np.uint64(32)) | occ_read.astype(
+        n_entries = len(entries)
+        occ_read = np.repeat(np.arange(n_entries, dtype=np.int64), lz["wlens"])
+        pair_key = (lz["inv"].astype(np.uint64) << np.uint64(32)) | occ_read.astype(
             np.uint64
         )
         upairs = np.unique(pair_key)
@@ -478,37 +641,24 @@ class GeneMerGraph:
             node.reads = rids
             node._read_set = set(rids)
 
-        # ---- edge tables (endpoints gathered vectorized from the window
-        # streams; per-edge numpy scalar indexing is ~10x slower)
-        ek_list = [e.ek for e in entries]
-        eocc = np.concatenate(ek_list)
-        if eocc.size:
-            elens = np.fromiter((len(x) for x in ek_list), np.int64, n_entries)
-            eoffs = np.zeros(n_entries + 1, np.int64)
-            np.cumsum(elens, out=eoffs[1:])
-            uek, e_first, e_counts = np.unique(
-                eocc, return_index=True, return_counts=True
-            )
-            er = np.searchsorted(eoffs, e_first, side="right") - 1
-            ej = e_first - eoffs[er]
-            base = offs[er] + (ej >> 1)
-            wd_cat = np.concatenate([e.wd for e in entries]).astype(np.int64)
-            rev = (ej & 1).astype(bool)
-            w0_h, w1_h = occ[base], occ[base + 1]
-            w0_d, w1_d = wd_cat[base], wd_cat[base + 1]
-            src_hs = np.where(rev, w1_h, w0_h).tolist()
-            tgt_hs = np.where(rev, w0_h, w1_h).tolist()
-            src_ds = np.where(rev, -w1_d, w0_d).tolist()
-            tgt_ds = np.where(rev, -w0_d, w1_d).tolist()
+        # ---- edge objects from the unique-edge arrays
+        self._lazy = lz  # _edge_table reads the lazy state
+        uek, e_counts, e_first, src_hs, tgt_hs, src_ds, tgt_ds, _si, _ti = (
+            self._edge_table()
+        )
+        self._lazy = None
+        if uek.size:
             uek_l = uek.tolist()
             ecov_l = e_counts.tolist()
+            src_hl, tgt_hl = src_hs.tolist(), tgt_hs.tolist()
+            src_dl, tgt_dl = src_ds.tolist(), tgt_ds.tolist()
             for gi in np.argsort(e_first, kind="stable").tolist():
                 key = uek_l[gi]
-                src_h, src_d = src_hs[gi], src_ds[gi]
-                edge = Edge(key, src_h, tgt_hs[gi], src_d, tgt_ds[gi])
+                src_h, src_d = src_hl[gi], src_dl[gi]
+                edge = Edge(key, src_h, tgt_hl[gi], src_d, tgt_dl[gi])
                 edge.coverage = ecov_l[gi]
-                self._edges[key] = edge
-                src_node = self._nodes[src_h]
+                self._edges_d[key] = edge
+                src_node = self._nodes_d[src_h]
                 lst = src_node.fwd_edges if src_d == 1 else src_node.bwd_edges
                 if key not in lst:
                     lst.append(key)
@@ -542,8 +692,8 @@ class GeneMerGraph:
                 e.wh = wh
                 e.wd = wd
                 e.ek = ek
-                e.nodes_tpl = wh.tolist()
-                e.dirs_tpl = wd.tolist()
+                e.nodes_tpl = None
+                e.dirs_tpl = None
                 e.pos_src = None
                 e.pos_tpl = None
                 store[rid] = e
@@ -589,8 +739,8 @@ class GeneMerGraph:
                 e.wh = np.ascontiguousarray(h[row, :Wt])
                 e.wd = np.ascontiguousarray(d[row, :Wt])
                 e.ek = np.ascontiguousarray(ek[row, : 2 * (Wt - 1)])
-                e.nodes_tpl = e.wh.tolist()
-                e.dirs_tpl = e.wd.tolist()
+                e.nodes_tpl = None
+                e.dirs_tpl = None
                 e.pos_src = None
                 e.pos_tpl = None
                 store[rid] = e
@@ -649,10 +799,14 @@ class GeneMerGraph:
         return self._edges[key]
 
     def get_total_number_of_nodes(self):
-        return len(self._nodes)
+        if self._lazy is not None:
+            return len(self._lazy["uh"])
+        return len(self._nodes_d)
 
     def get_total_number_of_edges(self):
-        return len(self._edges)
+        if self._lazy is not None:
+            return len(self._edge_table()[0])
+        return len(self._edges_d)
 
     def get_total_number_of_reads(self):
         return len(self._reads)

@@ -37,11 +37,23 @@ class CacheEntry:
         "wh",  # np.uint64 (W,) canonical window hashes
         "wd",  # np.int8  (W,) window directions (+1/-1)
         "ek",  # np.uint64 (2*(W-1),) interleaved fwd/rev edge keys
-        "nodes_tpl",  # list[int] — template for _readNodes rows
-        "dirs_tpl",  # list[int] — template for _readNodeDirections rows
+        "nodes_tpl",  # list[int] template for _readNodes rows (lazy)
+        "dirs_tpl",  # list[int] template for _readNodeDirections rows (lazy)
         "pos_src",  # the gene-position list object the template was cut from
         "pos_tpl",  # list[tuple] — template for _readNodePositions rows
     )
+
+    def nodes_list(self):
+        """_readNodes row template (window hashes as Python ints), built on
+        first use — most cache entries never need it in the tensor loop."""
+        if self.nodes_tpl is None:
+            self.nodes_tpl = self.wh.tolist()
+        return self.nodes_tpl
+
+    def dirs_list(self):
+        if self.dirs_tpl is None:
+            self.dirs_tpl = self.wd.tolist()
+        return self.dirs_tpl
 
 
 class GraphBuildCache:

@@ -13,6 +13,7 @@ import sys
 
 import numpy as np
 
+from amira_tpu import clean
 from amira_tpu.graph import GeneMerGraph
 
 
@@ -49,22 +50,35 @@ def iterative_bubble_popping(
         graph = build_graph(
             new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, cache
         )
-        graph.filter_graph(node_min_coverage, 1)
-        new_annotatedReads, new_gene_position_dict = graph.correct_reads(
-            fastq_content
-        )
+        if graph.is_lazy:
+            # tensor path: filter + correction from the aggregation tables,
+            # no Node/Edge materialization (amira_tpu/clean.py; parity with
+            # the object path is pinned by tests/test_tensor_clean.py)
+            new_annotatedReads, new_gene_position_dict = clean.filter_and_correct(
+                graph, node_min_coverage, fastq_content
+            )
+        else:
+            graph.filter_graph(node_min_coverage, 1)
+            new_annotatedReads, new_gene_position_dict = graph.correct_reads(
+                fastq_content
+            )
         graph = build_graph(
             new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, cache
         )
-        if len(graph.get_nodes()) == prev_nodes:
+        if graph.get_total_number_of_nodes() == prev_nodes:
             break
-        prev_nodes = len(graph.get_nodes())
+        prev_nodes = graph.get_total_number_of_nodes()
         short_reads.update(graph.get_short_read_annotations())
         short_read_gene_positions.update(graph.get_short_read_gene_positions())
-        graph.remove_short_linear_paths(geneMer_size)
-        new_annotatedReads, new_gene_position_dict = graph.correct_reads(
-            fastq_content
-        )
+        if graph.is_lazy:
+            new_annotatedReads, new_gene_position_dict = clean.tip_trim_and_correct(
+                graph, geneMer_size, fastq_content
+            )
+        else:
+            graph.remove_short_linear_paths(geneMer_size)
+            new_annotatedReads, new_gene_position_dict = graph.correct_reads(
+                fastq_content
+            )
         graph = build_graph(
             new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, cache
         )
