@@ -88,6 +88,7 @@ class _TensorView:
         self._adj = None
         self._node_genes: dict = {}
         self._cov_alive: dict = {}
+        self._hash_to_idx = None
         self.corrected_order, self._reads_to_correct = self._find_reads_to_correct()
         self._nodes_map = _ReadListMap(self, "nodes")
         self._dirs_map = _ReadListMap(self, "dirs")
@@ -146,12 +147,22 @@ class _TensorView:
     def get_kmerSize(self):
         return self.graph.get_kmerSize()
 
+    def _uh_index(self, h) -> int:
+        """Unique-node index of a node hash (dict built once per view; the
+        correction loop makes thousands of point lookups, and scalar
+        np.searchsorted costs ~30us each on this host)."""
+        m = self._hash_to_idx
+        if m is None:
+            m = dict(
+                zip(self.lz["uh"].tolist(), range(len(self.lz["uh"])))
+            )
+            self._hash_to_idx = m
+        return m[h]
+
     def get_node_by_hash(self, h):
         cov = self._cov_alive.get(h)
         if cov is None:
-            lz = self.lz
-            j = int(np.searchsorted(lz["uh"], np.uint64(h)))
-            cov = int(lz["counts"][j])
+            cov = int(self.lz["counts"][self._uh_index(h)])
             self._cov_alive[h] = cov
         return _CovNode(cov)
 
@@ -206,9 +217,19 @@ class _TensorView:
     def _genes_of_node(self, h):
         genes = self._node_genes.get(h)
         if genes is None:
-            toks = self.graph.node_tokens_for([h])[0]
+            from amira_tpu.vocab import reverse_tokens
+
+            lz = self.lz
+            self.graph._first_occurrence()
+            j = self._uh_index(h)
+            e = lz["entries"][int(lz["f_read"][j])]
+            wi = int(lz["f_w"][j])
+            k = self.graph.get_kmerSize()
+            wtok = e.tok[wi : wi + k]
+            if int(e.wd[wi]) != 1:
+                wtok = reverse_tokens(wtok)
             decode = self.graph.vocab.decode_gene
-            genes = [decode(t) for t in toks]
+            genes = [decode(t) for t in wtok]
             self._node_genes[h] = genes
         return genes
 

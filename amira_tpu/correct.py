@@ -34,10 +34,12 @@ def needleman_wunsch(x: list, y: list):
     P = np.zeros((N + 1, M + 1), dtype=np.int8)  # 0=diag,1=left(gap in y),2=up(gap in x)
     F[0, :] = -np.arange(M + 1)
     F[:, 0] = -np.arange(N + 1)
-    # match scores (object-array comparison: exact symbol equality)
-    xs = np.array(x, dtype=object)
-    ys = np.array(y, dtype=object)
-    eq = xs[:, None] == ys[None, :]
+    # match scores: intern symbols to ids so the (N, M) equality grid is an
+    # integer compare, not N*M Python-level string comparisons
+    ids: dict = {}
+    xa = np.fromiter((ids.setdefault(s, len(ids)) for s in x), np.int32, N)
+    ya = np.fromiter((ids.setdefault(s, len(ids)) for s in y), np.int32, M)
+    eq = xa[:, None] == ya[None, :]
     # reference: option_F = (diag, F[i-1, j] - 1, F[i, j-1] - 1)
     #            option_Ptr = (DIAG, LEFT, UP)
     # max(zip(option_F, option_Ptr)) picks highest score; on ties it compares

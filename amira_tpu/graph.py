@@ -444,8 +444,13 @@ class GeneMerGraph:
                 self._shortReads[rid] = genes
                 continue
             e = store.get(rid)
-            if e is None or e.genes != genes:
-                e = None
+            if e is not None:
+                if e.genes_src is genes:
+                    pass  # same object as last build: O(1) hit
+                elif e.genes == genes:
+                    e.genes_src = genes
+                else:
+                    e = None
             kept_ids.append(rid)
             entries.append(e)
             if e is None:
@@ -459,33 +464,89 @@ class GeneMerGraph:
             self._compute_cache_misses(store, kept_ids, entries, miss_pos, k)
 
         # ---- aggregation: group window occurrences by hash on the host.
-        # Plain sort + searchsorted + bincount (no stable argsort, which is
+        # The concatenated occurrence streams are SPLICED from the previous
+        # build's arrays when the kept-read sequence is unchanged except for
+        # cache misses (the cleaning loop's steady state): runs of unchanged
+        # reads copy as single slices, so stream assembly is O(changed), not
+        # one np.concatenate over ~10^5 small per-read arrays. Grouping uses
+        # plain sort + searchsorted + bincount (no stable argsort, which is
         # what makes np.unique(return_index/inverse) 3-4x slower); the
         # first-occurrence map is computed lazily (_first_occurrence) via a
         # reversed fancy-scatter. Everything beyond these flat tables
         # (Node/Edge objects, per-read template lists, reads-per-node) is
         # deferred to _materialize().
-        wh_list = [e.wh for e in entries]
-        n_entries = len(wh_list)
-        wlens = np.fromiter((len(w) for w in wh_list), np.int64, n_entries)
-        offs = np.zeros(n_entries + 1, np.int64)
-        np.cumsum(wlens, out=offs[1:])
-        occ = np.concatenate(wh_list)
+        n_entries = len(entries)
+        prev = cache.streams.get(k)
+        spliced = None
+        if prev is not None and len(prev["entries"]) == n_entries:
+            miss_set = set(miss_pos)
+            pe = prev["entries"]
+            if all(
+                entries[i] is pe[i] for i in range(n_entries) if i not in miss_set
+            ):
+                spliced = self._splice_streams(prev, entries, miss_pos)
+        if spliced is not None:
+            occ, wd_cat, wlens, offs = spliced
+        else:
+            wh_list = [e.wh for e in entries]
+            wlens = np.fromiter((len(w) for w in wh_list), np.int64, n_entries)
+            offs = np.zeros(n_entries + 1, np.int64)
+            np.cumsum(wlens, out=offs[1:])
+            occ = np.concatenate(wh_list)
+            wd_cat = np.concatenate([e.wd for e in entries])
         uh = np.unique(occ)
         inv = np.searchsorted(uh, occ)
         counts = np.bincount(inv, minlength=len(uh))
+        cache.streams[k] = {
+            "entries": list(entries),
+            "occ": occ,
+            "wd_cat": wd_cat,
+            "wlens": wlens,
+            "offs": offs,
+        }
         self._lazy = {
             "entries": entries,
             "kept_ids": kept_ids,
             "occ": occ,
             "offs": offs,
             "wlens": wlens,
+            "wd_cat": wd_cat,
             "uh": uh,
             "inv": inv,
             "counts": counts,
             "first_idx": None,
             "edges": None,
         }
+
+    @staticmethod
+    def _splice_streams(prev, entries, miss_pos):
+        """New (occ, wd_cat, wlens, offs) by splicing the previous build's
+        streams: maximal runs of unchanged reads are copied as single
+        slices; only cache-miss reads contribute fresh per-read arrays."""
+        p_occ, p_wd = prev["occ"], prev["wd_cat"]
+        p_offs = prev["offs"]
+        n = len(entries)
+        wlens = prev["wlens"].copy()
+        occ_pieces = []
+        wd_pieces = []
+        run_start = 0
+        for c in miss_pos:
+            if c > run_start:
+                occ_pieces.append(p_occ[p_offs[run_start] : p_offs[c]])
+                wd_pieces.append(p_wd[p_offs[run_start] : p_offs[c]])
+            e = entries[c]
+            occ_pieces.append(e.wh)
+            wd_pieces.append(e.wd)
+            wlens[c] = len(e.wh)
+            run_start = c + 1
+        if run_start < n:
+            occ_pieces.append(p_occ[p_offs[run_start] : p_offs[n]])
+            wd_pieces.append(p_wd[p_offs[run_start] : p_offs[n]])
+        occ = np.concatenate(occ_pieces) if occ_pieces else np.zeros(0, np.uint64)
+        wd_cat = np.concatenate(wd_pieces) if wd_pieces else np.zeros(0, np.int8)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(wlens, out=offs[1:])
+        return occ, wd_cat, wlens, offs
 
     def _first_occurrence(self):
         """first_idx/f_read/f_w of the lazy tables: index of each unique
@@ -506,36 +567,64 @@ class GeneMerGraph:
 
     def _edge_table(self):
         """Unique-edge arrays of a lazy build: (uek, cov, first_occ, src_h,
-        tgt_h, src_d, tgt_d, src_idx, tgt_idx), endpoints gathered vectorized
-        from the window streams (per-edge numpy scalar indexing is ~10x
-        slower). src_idx/tgt_idx index the sorted unique-node table `uh`.
-        Cached in the lazy state; `first_occ` orders edges by first
-        occurrence."""
+        tgt_h, src_d, tgt_d, src_idx, tgt_idx). Edge identity is computed as
+        a composite (node_idx, dir) pair code over the occurrence stream —
+        no per-occurrence hashing, no per-read key arrays — then grouped
+        with one stable argsort; the real canonical edge-key hashes
+        (Edge.__hash__ parity with device builds, construct_edge.py:104-124)
+        are computed only for the ~unique records. src_idx/tgt_idx index the
+        sorted unique-node table `uh`; `first_occ` orders edges by first
+        occurrence in the interleaved (fwd, rc-companion) record stream,
+        matching the object build's insertion order."""
         lz = self._lazy
         if lz["edges"] is None:
-            entries = lz["entries"]
-            n_entries = len(entries)
+            from amira_tpu.ops.host_tables import _edge_key
+
             occ, offs, inv = lz["occ"], lz["offs"], lz["inv"]
-            ek_list = [e.ek for e in entries]
-            eocc = np.concatenate(ek_list) if ek_list else np.zeros(0, np.uint64)
-            if eocc.size:
-                elens = np.fromiter(
-                    (len(x) for x in ek_list), np.int64, n_entries
+            if lz.get("wd_cat") is None:
+                lz["wd_cat"] = np.concatenate(
+                    [e.wd for e in lz["entries"]]
+                ) if lz["entries"] else np.zeros(0, np.int8)
+            wd_cat = lz["wd_cat"]
+            n_pairs_total = len(occ) - (len(offs) - 1)
+            if n_pairs_total > 0:
+                valid = np.ones(len(occ), dtype=bool)
+                valid[offs[1:] - 1] = False  # last window of each read
+                p0 = np.flatnonzero(valid)
+                i0 = inv[p0].astype(np.int64)
+                i1 = inv[p0 + 1].astype(np.int64)
+                a0 = (i0 << 1) | (wd_cat[p0] > 0)
+                a1 = (i1 << 1) | (wd_cat[p0 + 1] > 0)
+                # orbit {(a,b), (a^1,b^1)}: the lexicographic min is decided
+                # by the direction bit of the first element alone
+                cf = np.where(
+                    (a0 & 1).astype(bool),
+                    ((a0 ^ 1) << 32) | (a1 ^ 1),
+                    (a0 << 32) | a1,
                 )
-                eoffs = np.zeros(n_entries + 1, np.int64)
-                np.cumsum(elens, out=eoffs[1:])
-                uek = np.unique(eocc)
-                e_inv = np.searchsorted(uek, eocc)
-                e_counts = np.bincount(e_inv, minlength=len(uek))
-                e_first = np.empty(len(uek), np.int64)
-                e_first[e_inv[::-1]] = np.arange(len(eocc) - 1, -1, -1, np.int64)
-                er = np.searchsorted(eoffs, e_first, side="right") - 1
-                ej = e_first - eoffs[er]
-                base = offs[er] + (ej >> 1)
-                wd_cat = np.concatenate([e.wd for e in entries]).astype(np.int64)
-                rev = (ej & 1).astype(bool)
+                x, y = a1 ^ 1, a0 ^ 1
+                cr = np.where(
+                    (x & 1).astype(bool),
+                    ((x ^ 1) << 32) | (y ^ 1),
+                    (x << 32) | y,
+                )
+                codes = np.empty(2 * len(p0), np.int64)
+                codes[0::2] = cf
+                codes[1::2] = cr
+                order = np.argsort(codes, kind="stable")
+                s = codes[order]
+                flags = np.empty(len(s), bool)
+                flags[0] = True
+                np.not_equal(s[1:], s[:-1], out=flags[1:])
+                starts = np.flatnonzero(flags)
+                e_first = order[starts]
+                e_counts = np.diff(np.append(starts, len(s)))
+                pair_pos = e_first >> 1
+                rev = (e_first & 1).astype(bool)
+                base = p0[pair_pos]
                 w0_h, w1_h = occ[base], occ[base + 1]
-                w0_d, w1_d = wd_cat[base], wd_cat[base + 1]
+                w0_d = wd_cat[base].astype(np.int64)
+                w1_d = wd_cat[base + 1].astype(np.int64)
                 w0_i, w1_i = inv[base], inv[base + 1]
                 src_hs = np.where(rev, w1_h, w0_h)
                 tgt_hs = np.where(rev, w0_h, w1_h)
@@ -543,6 +632,7 @@ class GeneMerGraph:
                 tgt_ds = np.where(rev, -w0_d, w1_d)
                 src_is = np.where(rev, w1_i, w0_i).astype(np.int64)
                 tgt_is = np.where(rev, w0_i, w1_i).astype(np.int64)
+                uek = _edge_key(src_hs, src_ds, tgt_hs, tgt_ds)
             else:
                 z64 = np.zeros(0, np.int64)
                 uek = np.zeros(0, np.uint64)
@@ -666,14 +756,17 @@ class GeneMerGraph:
         self.assign_component_ids()
 
     def _compute_cache_misses(self, store, kept_ids, entries, miss_pos, k):
-        """Windowing + edge-key pass for the reads not in the cache; fills
-        `store` and `entries`. Large batches run on the device (bucketed by
-        length); small ones on the host NumPy mirror — a tunnel dispatch
-        costs 0.3-0.5s flat, so the few-percent rebuild churn of a cleaning
-        iteration is far cheaper off-device (ops/host_tables.py,
-        bit-identical by fuzz test)."""
+        """Windowing pass for the reads not in the cache; fills `store` and
+        `entries`. Large batches run on the device as ONE flat-stream
+        dispatch (ops/graph_tables.pack_flat_windows) — reads concatenated
+        into a single 1-D token stream, no padding buckets, and edge keys
+        derived on the host from the downloaded window stream (halves the
+        tunnel transfer). Small batches run entirely on the host NumPy
+        mirror — a tunnel dispatch costs 0.3-0.5s flat, so the few-percent
+        rebuild churn of a cleaning iteration is far cheaper off-device
+        (ops/host_tables.py, bit-identical by fuzz test)."""
         from amira_tpu.graph_cache import CacheEntry
-        from amira_tpu.ops.graph_tables import join_u64, pack_windows_edges
+        from amira_tpu.ops.graph_tables import join_u64, pack_flat_windows
         from amira_tpu.ops.host_tables import (
             HOST_BATCH_GENE_LIMIT,
             host_windows_edges,
@@ -683,15 +776,17 @@ class GeneMerGraph:
         tok_list = self.vocab.encode_reads_batch(genes_list)
         lens = np.fromiter((len(t) for t in tok_list), np.int64, len(tok_list))
         if int(lens.sum()) <= HOST_BATCH_GENE_LIMIT:
-            for s, (wh, wd, ek) in enumerate(host_windows_edges(tok_list, k)):
+            for s, (wh, wd, _ek) in enumerate(host_windows_edges(tok_list, k)):
                 kp = miss_pos[s]
                 rid = kept_ids[kp]
                 e = CacheEntry()
-                e.genes = list(self._reads[rid])
+                # no defensive copy: in-place mutation of a read's gene list
+                # is unsupported (graph_cache.py module docstring)
+                e.genes = self._reads[rid]
+                e.genes_src = self._reads[rid]
                 e.tok = tok_list[s]
                 e.wh = wh
                 e.wd = wd
-                e.ek = ek
                 e.nodes_tpl = None
                 e.dirs_tpl = None
                 e.pos_src = None
@@ -699,52 +794,32 @@ class GeneMerGraph:
                 store[rid] = e
                 entries[kp] = e
             return
-        order = np.argsort(lens, kind="stable")
-        i = 0
-        while i < len(order):
-            lb = _bucket(int(lens[order[i]]))
-            j = i
-            while j < len(order) and _bucket(int(lens[order[j]])) == lb:
-                j += 1
-            sel = order[i:j]
-            i = j
-            btoks = [tok_list[s] for s in sel]
-            tokens, klengths = pack_reads(btoks, pad_to=lb)
-            n_pad = _bucket(len(btoks)) - len(btoks)
-            if n_pad:
-                tokens = np.vstack(
-                    [tokens, np.zeros((n_pad, lb), dtype=np.int32)]
-                )
-                klengths = np.concatenate([klengths, np.zeros(n_pad, np.int32)])
-            buf = np.asarray(pack_windows_edges(tokens, klengths, k))
-            R = tokens.shape[0]
-            W = lb - k + 1
-            n1 = R * W
-            h = join_u64(buf[:n1], buf[n1 : 2 * n1]).reshape(R, W)
-            d = (buf[2 * n1 : 3 * n1].astype(np.int8) - 1).reshape(R, W)
-            if W >= 2:
-                n2 = R * 2 * (W - 1)
-                ek = join_u64(
-                    buf[3 * n1 : 3 * n1 + n2], buf[3 * n1 + n2 :]
-                ).reshape(R, -1)
-            else:
-                ek = np.zeros((R, 0), np.uint64)
-            for row, s in enumerate(sel.tolist()):
-                kp = miss_pos[s]
-                rid = kept_ids[kp]
-                Wt = len(tok_list[s]) - (k - 1)
-                e = CacheEntry()
-                e.genes = list(self._reads[rid])
-                e.tok = tok_list[s]
-                e.wh = np.ascontiguousarray(h[row, :Wt])
-                e.wd = np.ascontiguousarray(d[row, :Wt])
-                e.ek = np.ascontiguousarray(ek[row, : 2 * (Wt - 1)])
-                e.nodes_tpl = None
-                e.dirs_tpl = None
-                e.pos_src = None
-                e.pos_tpl = None
-                store[rid] = e
-                entries[kp] = e
+        total = int(lens.sum())
+        Nb = _bucket(total, 4096)
+        flat = np.zeros(Nb, np.int32)
+        starts = np.zeros(len(tok_list) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        flat[:total] = np.concatenate(tok_list)
+        buf = np.asarray(pack_flat_windows(flat, k))
+        wh_all = join_u64(buf[:Nb], buf[Nb : 2 * Nb])
+        wd_all = (buf[2 * Nb :].astype(np.int8) - 1)
+        for s, tok in enumerate(tok_list):
+            kp = miss_pos[s]
+            rid = kept_ids[kp]
+            o = int(starts[s])
+            Wt = len(tok) - (k - 1)
+            e = CacheEntry()
+            e.genes = self._reads[rid]
+            e.genes_src = self._reads[rid]
+            e.tok = tok
+            e.wh = wh_all[o : o + Wt]  # view; the flat buffer stays alive
+            e.wd = wd_all[o : o + Wt]
+            e.nodes_tpl = None
+            e.dirs_tpl = None
+            e.pos_src = None
+            e.pos_tpl = None
+            store[rid] = e
+            entries[kp] = e
 
     # ------------------------------------------------------------- accessors
 

@@ -6,7 +6,6 @@ amira/graph_utils.py:127-181 rebuilds from scratch each time). The cache
 keeps, per (k, read):
 
   * the device-computed canonical window hash / direction vectors,
-  * the canonical edge keys of adjacent window pairs,
   * the tokenized read,
   * ready-to-copy per-read Python table rows (node list, direction list,
     windowed gene positions).
@@ -33,10 +32,12 @@ import numpy as np
 class CacheEntry:
     __slots__ = (
         "genes",  # snapshot copy of the stranded gene strings
+        "genes_src",  # the gene-list object last validated against (identity
+        #               fast path; in-place mutation of a read's gene list is
+        #               unsupported, see module docstring)
         "tok",  # np.int32 (L,) signed gene tokens
         "wh",  # np.uint64 (W,) canonical window hashes
         "wd",  # np.int8  (W,) window directions (+1/-1)
-        "ek",  # np.uint64 (2*(W-1),) interleaved fwd/rev edge keys
         "nodes_tpl",  # list[int] template for _readNodes rows (lazy)
         "dirs_tpl",  # list[int] template for _readNodeDirections rows (lazy)
         "pos_src",  # the gene-position list object the template was cut from
@@ -68,6 +69,10 @@ class GraphBuildCache:
         self.hits = 0
         self.misses = 0
         self.vocab = None  # the GeneVocab all cached tokens were produced by
+        # per-k concatenated occurrence streams of the LAST build (entry
+        # list + occ/wd_cat/wlens/offs arrays), spliced instead of
+        # re-concatenated when only a few reads changed
+        self.streams: dict[int, dict] = {}
 
     def bind_vocab(self, vocab):
         """Pin the cache to the vocab of its first build; cached token/hash
@@ -87,4 +92,5 @@ class GraphBuildCache:
 
     def clear(self):
         self._by_k.clear()
+        self.streams.clear()
         self.vocab = None

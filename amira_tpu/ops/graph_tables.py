@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from amira_tpu.ops.hashing import edge_key, genemer_windows
+from amira_tpu.ops.hashing import edge_key, gene_hash, genemer_windows, splitmix64
 
 UINT_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 _WBITS = 22  # window index fits in 21 bits; bit 0 is the edge fwd/rev slot
@@ -298,3 +298,32 @@ def assemble_edge_tables(ekeys, eokey):
         seg
     ]
     return sk, boundary, cov, eokey[perm]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def pack_flat_windows(tok_flat, k: int):
+    """Canonical window hash/direction at EVERY position of a flat
+    concatenated token stream, packed [h_lo | h_hi | dir+1] (uint32).
+
+    One dispatch per build instead of one per length bucket: the host
+    concatenates all reads into a single 1-D stream and slices each read's
+    valid windows out afterwards; windows that span a read boundary or the
+    padded tail are simply never read. Edge keys are NOT computed on device —
+    the host derives them from the window stream (halves the tunnel
+    download). Hash values are bit-identical to genemer_windows (same
+    canonicalization and splitmix chain over the flat layout)."""
+    h = gene_hash(tok_flat)  # (N,) int64 signed
+    fwd = jnp.stack([jnp.roll(h, -j) for j in range(k)], axis=-1)  # (N, k)
+    rc = -fwd[..., ::-1]
+    diff = fwd != rc
+    first = jnp.argmax(diff, axis=-1)
+    fwd_at = jnp.take_along_axis(fwd, first[..., None], axis=-1)[..., 0]
+    rc_at = jnp.take_along_axis(rc, first[..., None], axis=-1)[..., 0]
+    fwd_is_canon = fwd_at <= rc_at
+    canon = jnp.where(fwd_is_canon[..., None], fwd, rc)
+    acc = jnp.full(canon.shape[:-1], jnp.uint64(k), dtype=jnp.uint64)
+    for j in range(k):
+        acc = splitmix64(acc ^ canon[..., j].astype(jnp.uint64))
+    lo, hi = split_u64(acc)
+    d = (jnp.where(fwd_is_canon, 1, -1) + 1).astype(jnp.uint32)
+    return jnp.concatenate([lo, hi, d])

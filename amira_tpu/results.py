@@ -562,26 +562,11 @@ def get_alleles(
     band_width = 256
     SEP = "\x00"
 
-    # batched mapping shares one reference universe across clusters; if two
-    # genes reuse an allele name with different sequences, fall back to the
-    # per-allele pipeline to keep scoping exact
-    seen_ref: dict = {}
-    for allele_name in supplemented_clusters:
-        gene_name = "_".join(allele_name.split("_")[:-1])
-        for a, seq in reference_genes[gene_name].items():
-            if seen_ref.setdefault(a, seq) != seq:
-                rows = [
-                    compare_reads_to_references(
-                        an, rfa, base, reference_genes, fastq_content,
-                        phenotypes, required_identity, required_coverage,
-                        debug=debug,
-                    )
-                    for an, rfa in supplemented_clusters.items()
-                ]
-                return pd.DataFrame(rows)
-
     # ---- stage 1: slice reads, write reference FASTAs, map reads against
-    # each cluster's gene references in one shared launch set
+    # each cluster's gene references in one shared launch set. The shared
+    # reference universe is namespaced per gene (gene SEP allele), so two
+    # genes reusing an allele name with different sequences batch fine —
+    # no serial fallback.
     state: dict = {}
     union_refs: dict = {}
     all_read_seqs: dict = {}
@@ -603,19 +588,26 @@ def get_alleles(
             "references": references,
             "read_seqs": read_seqs,
         }
-        union_refs.update(references)
+        for a, s in references.items():
+            union_refs[f"{gene_name}{SEP}{a}"] = s
         for rid, seq in read_seqs.items():
             key = f"{allele_name}{SEP}{rid}"
             all_read_seqs[key] = seq
-            subsets[key] = list(references.keys())
+            subsets[key] = [f"{gene_name}{SEP}{a}" for a in references]
     union_aligner = Aligner(union_refs, band_width=band_width)
     all_hits = union_aligner.map_reads(all_read_seqs, ref_subsets=subsets)
+
+    def _strip_gene(hits):
+        return {name.split(SEP, 1)[1]: v for name, v in hits.items()}
+
     rows_by_allele: dict = {}
     active: dict = {}  # allele -> current draft (still polishing)
     for allele_name, st in state.items():
         alignments = {}
         for rid in st["read_seqs"]:
-            alignments[rid] = all_hits.get(f"{allele_name}{SEP}{rid}", {})
+            alignments[rid] = _strip_gene(
+                all_hits.get(f"{allele_name}{SEP}{rid}", {})
+            )
         ref_allele_positions, ref_cov_proportion = _ref_pileups(
             alignments, st["references"]
         )
@@ -686,7 +678,9 @@ def get_alleles(
             [f">{st['valid_allele']}\n{st['polished']}"],
         )
         polished_seqs[allele_name] = st["polished"]
-        polished_subsets[allele_name] = list(st["references"].keys())
+        polished_subsets[allele_name] = [
+            f"{st['gene']}{SEP}{a}" for a in st["references"]
+        ]
     final_hits = union_aligner.map_reads(
         polished_seqs, ref_subsets=polished_subsets
     )
@@ -694,7 +688,9 @@ def get_alleles(
         if "polished" not in st:
             continue
         entries = polished_entries_from_hits(
-            final_hits.get(allele_name, {}), st["references"], required_coverage
+            _strip_gene(final_hits.get(allele_name, {})),
+            st["references"],
+            required_coverage,
         )
         row = _row_from_polished(
             st["out_dir"], st["gene"], allele_name, st["polished"], entries,

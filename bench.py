@@ -32,10 +32,19 @@ import time
 
 TILE = 4
 BASELINE_SAMPLE = 1500
-CLEAN_ITERS = 6  # full cleaning iterations after the cold build
+# Full cleaning iterations per cycle after the cold build. The reference's
+# driver loop runs up to 30 iterations per k (graph_utils.py:127-181 +
+# __main__.py:399); 10 approximates the pipeline's steady-state cold:warm
+# build mix.
+CLEAN_ITERS = 10
 CHURN = 0.02  # fraction of reads perturbed per iteration
 NODE_MIN_COV = 3  # pipeline default node_min_coverage
 K = 3
+
+# alleles/s stage: clusters polished in batched lockstep vs one-at-a-time
+POLISH_CLUSTERS = 40
+POLISH_READS = 16
+POLISH_SERIAL_SAMPLE = 6
 
 
 def _load_reads():
@@ -82,6 +91,14 @@ def _baseline_reads_per_sec(reads):
 
     sample = dict(list(reads.items())[:BASELINE_SAMPLE])
     k = K
+    best = None
+    for _ in range(3):  # best-of-3: the shared 2-core host is noisy
+        dt = _baseline_once(sample, k, h)
+        best = dt if best is None else min(best, dt)
+    return len(sample) / best
+
+
+def _baseline_once(sample, k, h):
     start = time.time()
     nodes = {}
     edges = {}
@@ -109,8 +126,7 @@ def _baseline_reads_per_sec(reads):
             ):
                 ekey = h(key_tuple)
                 edges[ekey] = edges.get(ekey, 0) + 1
-    dt = time.time() - start
-    return len(sample) / dt
+    return time.time() - start
 
 
 def _timed_cycle(reads, positions):
@@ -154,6 +170,101 @@ def _timed_cycle(reads, positions):
     return best, g, n_builds
 
 
+def _polish_workload(tmpdir):
+    """POLISH_CLUSTERS allele clusters: per gene, a true allele + a 2%%
+    diverged reference allele and POLISH_READS noisy read slices (the
+    get_alleles input contract, result_utils.py:728-765)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    bases = np.array(list("ACGT"))
+
+    def rand_seq(n):
+        return "".join(rng.choice(bases, size=n))
+
+    def mutate(seq, rate):
+        out = []
+        for ch in seq:
+            r = rng.rand()
+            if r < rate:
+                out.append(str(rng.choice([c for c in "ACGT" if c != ch])))
+            elif r < 1.5 * rate:
+                continue
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    reference_genes = {}
+    clusters = {}
+    fastq = {}
+    phenos = {}
+    for gi in range(POLISH_CLUSTERS):
+        gene = f"gene{gi}"
+        true_allele = rand_seq(800)
+        reference_genes[gene] = {
+            f"{gene}.a1": true_allele,
+            f"{gene}.a2": mutate(true_allele, 0.02),
+        }
+        phenos[f"{gene}.a1"] = f"pheno {gene} a1"
+        phenos[f"{gene}.a2"] = f"pheno {gene} a2"
+        allele_name = f"{gene}_1"
+        members = []
+        for ri in range(POLISH_READS):
+            rid = f"r{gi}_{ri}"
+            flank_l, flank_r = rand_seq(150), rand_seq(150)
+            read_seq = flank_l + mutate(true_allele, 0.03) + flank_r
+            fastq[rid] = {"sequence": read_seq, "quality": "I" * len(read_seq)}
+            members.append(f"{rid}_{150}_{len(read_seq) - 151}")
+        clusters[allele_name] = members
+    import json as _json
+    import os as _os
+
+    pheno_path = _os.path.join(tmpdir, "calls.json")
+    with open(pheno_path, "w") as fh:
+        _json.dump(phenos, fh)
+    return clusters, reference_genes, fastq, pheno_path
+
+
+def _bench_polish():
+    """Batched allele polishing throughput (alleles/s) and its speedup over
+    the serial per-allele pipeline (same kernels, one cluster at a time)."""
+    import shutil
+    import tempfile
+
+    from amira_tpu.results import compare_reads_to_references, get_alleles
+
+    tmpdir = tempfile.mkdtemp(prefix="amira_bench_polish_")
+    try:
+        clusters, reference_genes, fastq, pheno_path = _polish_workload(tmpdir)
+        # warm-up (compiles)
+        get_alleles(
+            dict(list(clusters.items())[:2]), tmpdir, reference_genes,
+            pheno_path, fastq, 0.9, 0.9,
+        )
+        t0 = time.time()
+        df = get_alleles(
+            clusters, tmpdir, reference_genes, pheno_path, fastq, 0.9, 0.9
+        )
+        dt = time.time() - t0
+        assert len(df) == POLISH_CLUSTERS
+        # serial path on a subsample
+        with open(pheno_path) as fh:
+            phenos = json.load(fh)
+        serial_names = list(clusters.keys())[:POLISH_SERIAL_SAMPLE]
+        t0 = time.time()
+        for an in serial_names:
+            compare_reads_to_references(
+                an, clusters[an], tmpdir, reference_genes, fastq,
+                phenos, 0.9, 0.9,
+            )
+        serial_dt = time.time() - t0
+        alleles_per_sec = POLISH_CLUSTERS / dt
+        serial_aps = POLISH_SERIAL_SAMPLE / serial_dt
+        return alleles_per_sec, alleles_per_sec / serial_aps
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def main():
     """Supervisor: run the measurement in a child with a hard timeout (the
     TPU tunnel can wedge mid-run, hanging forever in-process); on
@@ -193,6 +304,29 @@ def _run_bench():
     n_nodes = g.get_total_number_of_nodes()
 
     baseline = _baseline_reads_per_sec(reads)  # per rebuild, build cost only
+
+    # secondary metric: batched allele polishing (alleles/s, speedup vs the
+    # serial per-allele pipeline on the same kernels)
+    try:
+        aps, polish_speedup = _bench_polish()
+        print(
+            json.dumps(
+                {
+                    "metric": f"allele_polish_alleles_per_sec_{platform}",
+                    "value": round(aps, 2),
+                    "unit": "alleles/s",
+                    "vs_baseline": round(polish_speedup, 2),
+                }
+            )
+        )
+        sys.stderr.write(
+            f"[bench] polish: {POLISH_CLUSTERS} clusters at {aps:.2f} "
+            f"alleles/s, {polish_speedup:.2f}x the serial per-allele path\n"
+        )
+    except Exception as e:  # noqa: BLE001 — secondary metric must not kill the run
+        sys.stderr.write(f"[bench] polish stage failed: {e}\n")
+
+    # headline metric LAST on stdout
     result = {
         "metric": f"genemer_cleaning_cycle_reads_per_sec_{platform}",
         "value": round(reads_per_sec, 1),

@@ -127,3 +127,22 @@ def test_cache_rejects_foreign_vocab():
     GeneMerGraph(calls, 3, positions, vocab=v1, cache=cache)  # same vocab ok
     with pytest.raises(ValueError):
         GeneMerGraph(calls, 3, positions, vocab=GeneVocab(), cache=cache)
+
+
+def test_flat_device_branch_matches_host_branch(monkeypatch):
+    """The single-dispatch flat window kernel (large miss batches) produces
+    the same graph as the host NumPy mirror (small batches)."""
+    import amira_tpu.ops.host_tables as ht
+
+    calls, positions = _fixture("nine")
+    v = GeneVocab()
+    host_g = GeneMerGraph(calls, 3, positions, vocab=v, cache=GraphBuildCache())
+    monkeypatch.setattr(ht, "HOST_BATCH_GENE_LIMIT", 0)
+    flat_g = GeneMerGraph(calls, 3, positions, vocab=v, cache=GraphBuildCache())
+    assert list(host_g.get_nodes().keys()) == list(flat_g.get_nodes().keys())
+    assert list(host_g.get_edges().keys()) == list(flat_g.get_edges().keys())
+    for h, n in host_g.get_nodes().items():
+        m = flat_g.get_nodes()[h]
+        assert n.coverage == m.coverage and n.reads == m.reads
+        assert n.fwd_edges == m.fwd_edges and n.bwd_edges == m.bwd_edges
+    assert host_g.get_readNodes() == flat_g.get_readNodes()
