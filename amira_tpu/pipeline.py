@@ -230,22 +230,26 @@ def run_pipeline(args) -> None:
             sys.stderr.write(f"\namira-tpu: mean read depth = {mean_read_depth}.\n")
         else:
             pandora_consensus = parse_fastq(pandoraConsensus)
-            annotatedReads, sample_genesOfInterest, gene_position_dict = (
-                convert_pandora_output(
-                    pandoraSam,
-                    pandora_consensus,
-                    genesOfInterest,
-                    args.gene_min_coverage,
-                    args.lower_gene_length_threshold,
-                    args.upper_gene_length_threshold,
-                    fastq_content,
-                )
+            (
+                annotatedReads,
+                sample_genesOfInterest,
+                gene_position_dict,
+                consensus_depths,
+            ) = convert_pandora_output(
+                pandoraSam,
+                pandora_consensus,
+                genesOfInterest,
+                args.gene_min_coverage,
+                args.lower_gene_length_threshold,
+                args.upper_gene_length_threshold,
+                fastq_content,
             )
             annotatedReads = dict(sorted(annotatedReads.items()))
             if args.sample_reads is True:
                 annotatedReads, mean_read_depth = (
                     subsample_reads_and_estimate_read_depth(
-                        annotatedReads, args.sample_size, core_genes, args.seed
+                        annotatedReads, args.sample_size, core_genes,
+                        args.seed, consensus_depths,
                     )
                 )
             else:

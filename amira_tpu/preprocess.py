@@ -74,34 +74,58 @@ def remove_poorly_mapped_genes(
     genesOfInterest,
     fastq_content,
     band_width=256,
-    max_reads=2000,
+    max_reads=None,
 ):
     """Drop non-AMR consensus genes with > threshold uncovered bases when the
     raw reads are aligned back to the pandora consensus
     (pre_processing.py:126-187) — minimap2/samtools replaced by the banded SW
-    kernel. Reads are subsampled for the QC pass."""
+    kernel. ALL reads are aligned (max_reads is a test hook), matching the
+    reference's full-BAM pileup.
+
+    Returns {gene: int32 per-base depth array} over the SURVIVING consensus
+    genes — the in-memory equivalent of the reference's
+    mapped_to_consensus.bam, consumed by get_core_gene_mean_depth
+    (pre_processing.py:322-355 `samtools coverage` route). Depth accumulates
+    per alignment reference span, like per-position read depth."""
     from amira_tpu.ops.align import Aligner
 
     genes = list(pandora_consensus.keys())
     if not genes or not fastq_content:
-        return
+        return {}
     refs = {g: pandora_consensus[g]["sequence"] for g in genes}
     aligner = Aligner(refs, band_width=band_width)
-    coverage = {g: np.zeros(len(refs[g]), dtype=np.int32) for g in genes}
+    depth = {g: np.zeros(len(refs[g]), dtype=np.int32) for g in genes}
     read_ids = list(fastq_content.keys())
-    if len(read_ids) > max_reads:
+    if max_reads is not None and len(read_ids) > max_reads:
         rng = random.Random(0)
         read_ids = rng.sample(read_ids, max_reads)
     read_seqs = {rid: fastq_content[rid]["sequence"] for rid in read_ids}
     for _rid, hits in aligner.map_reads(read_seqs).items():
         for g, (_strand, aln) in hits.items():
-            coverage[g][aln.r_start : aln.r_end] = 1
+            depth[g][aln.r_start : aln.r_end] += 1
     for g in genes:
         if g in genesOfInterest:
             continue
-        cov = coverage[g]
-        if (len(cov) - int(cov.sum())) / len(cov) > zero_coverage_threshold:
+        d = depth[g]
+        if (len(d) - int(np.count_nonzero(d))) / len(d) > zero_coverage_threshold:
             del pandora_consensus[g]
+            del depth[g]
+    return depth
+
+
+def get_core_gene_mean_depth(consensus_depths, core_genes_path):
+    """Mean over core genes of per-gene mean depth (`samtools coverage`
+    meandepth over mapped_to_consensus.bam; pre_processing.py:322-355)."""
+    with open(core_genes_path) as i:
+        core = set(i.read().split("\n"))
+    per_gene = [
+        float(d.sum()) / len(d)
+        for g, d in consensus_depths.items()
+        if g in core and len(d)
+    ]
+    if per_gene:
+        return float(np.mean(per_gene))
+    return 0
 
 
 def convert_pandora_output(
@@ -118,7 +142,7 @@ def convert_pandora_output(
     annotatedReads: dict = {}
     gene_position_dict: dict = {}
     geneCounts: dict = {}
-    remove_poorly_mapped_genes(
+    consensus_depths = remove_poorly_mapped_genes(
         pandora_consensus, 0.2, genesOfInterest, fastq_content
     )
     for read in parse_sam(pandoraSam):
@@ -170,7 +194,12 @@ def convert_pandora_output(
             f"frequency ({geneCounts[g]}).\n"
         )
     assert len(annotatedReads) != 0
-    return annotatedReads, subsettedGenesOfInterest, gene_position_dict
+    return (
+        annotatedReads,
+        subsettedGenesOfInterest,
+        gene_position_dict,
+        consensus_depths,
+    )
 
 
 def process_reference_alleles(path_to_interesting_genes, promoters=False):
@@ -257,13 +286,20 @@ def estimate_mean_core_gene_counts(annotatedReads, core_genes):
 
 
 def subsample_reads_and_estimate_read_depth(
-    annotatedReads, sample_size, core_genes, seed=2025
+    annotatedReads, sample_size, core_genes, seed=2025, consensus_depths=None
 ):
     """Random subsample to `sample_size` reads + core-gene depth estimate
-    (pre_processing.py:373-389; depth always via core-gene counts here)."""
+    (pre_processing.py:373-389): when the read set was subsampled, depth
+    comes from core-gene call counts; otherwise from the reads->consensus
+    per-base pileup (the reference's `samtools coverage` route via
+    mapped_to_consensus.bam)."""
     total_reads = len(annotatedReads)
     if total_reads > sample_size:
         rng = random.Random(seed)
         annotatedReads = dict(rng.sample(list(annotatedReads.items()), sample_size))
-    mean_read_depth = estimate_mean_core_gene_counts(annotatedReads, core_genes)
+        mean_read_depth = estimate_mean_core_gene_counts(annotatedReads, core_genes)
+    elif consensus_depths is not None:
+        mean_read_depth = get_core_gene_mean_depth(consensus_depths, core_genes)
+    else:
+        mean_read_depth = estimate_mean_core_gene_counts(annotatedReads, core_genes)
     return annotatedReads, mean_read_depth
