@@ -84,3 +84,25 @@ def test_two_copy_amr_gene_separated(tmp_path):
     assert set(df["Determinant name"]) == {"amrX"}
     alleles = set(df["Amira allele"])
     assert alleles == {"amrX_1", "amrX_2"}
+
+
+def test_results_tsv_matches_committed_golden(tmp_path):
+    """Full-pipeline byte-parity regression: the two-AMR-gene seed-7 isolate
+    must reproduce the committed amira_results.tsv exactly (columns, value
+    formatting, row order — the reference's output contract,
+    result_utils.py:124-207 + __main__.py:798-800)."""
+    files = make_isolate(
+        str(tmp_path / "data"),
+        seed=7,
+        n_reads=90,
+        amr_genes=("amrX", "amrY"),
+        layout=[
+            "geneA", "geneB", "amrX", "geneC",
+            "geneD", "amrY", "geneE", "geneF",
+        ],
+    )
+    tsv = _run_cli(files, str(tmp_path / "out"))
+    golden = os.path.join(
+        os.path.dirname(__file__), "goldens", "amira_results_seed7.tsv"
+    )
+    assert open(tsv).read() == open(golden).read()
