@@ -115,6 +115,14 @@ def get_options(argv=None) -> argparse.Namespace:
         action="store_true", default=False,
     )
     parser.add_argument("--amr-fasta", dest="amr_fasta", help=argparse.SUPPRESS, default=None)
+    parser.add_argument(
+        "--dist-build",
+        dest="dist_build",
+        action="store_true",
+        default=False,
+        help="Shard the initial/final graph builds over all visible devices "
+        "(collective-merged full tables; identical output).",
+    )
     parser.add_argument("--amr-calls", dest="amr_calls", help=argparse.SUPPRESS, default=None)
     parser.add_argument("--core-genes", dest="core_genes", help=argparse.SUPPRESS, default=None)
     parser.add_argument("--plasmid-genes", dest="plasmid_genes", help=argparse.SUPPRESS, default=None)

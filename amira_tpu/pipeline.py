@@ -277,10 +277,37 @@ def run_pipeline(args) -> None:
 
     vocab = GeneVocab()
     build_cache = GraphBuildCache()
+
+    def _mesh_build(reads_d, kk, pos_d):
+        """Initial/final builds can run distributed: reads shard over a
+        data-parallel device mesh and the full node/edge/incidence tables
+        are collective-merged (parallel/distgraph.py), producing a graph
+        identical to the single-device build."""
+        import jax
+        from jax.sharding import Mesh
+
+        import numpy as _np
+        from amira_tpu.parallel.distgraph import distributed_graph_build
+
+        devs = jax.devices()
+        mesh = Mesh(_np.array(devs).reshape(len(devs)), ("data",))
+        return distributed_graph_build(
+            reads_d, kk, mesh, vocab=vocab, gene_positions=pos_d
+        )
+
+    use_dist = bool(getattr(args, "dist_build", False))
+    if use_dist:
+        import jax
+
+        if len(jax.devices()) < 2:
+            use_dist = False
     if not args.quiet:
         sys.stderr.write("\namira-tpu: building initial gene-mer graph.\n")
     with phase("initial_graph_build", items=len(annotatedReads), unit="reads"):
-        graph = build_graph(annotatedReads, 3, gene_position_dict, vocab, build_cache)
+        if use_dist:
+            graph = _mesh_build(annotatedReads, 3, gene_position_dict)
+        else:
+            graph = build_graph(annotatedReads, 3, gene_position_dict, vocab, build_cache)
     if args.debug:
         for node in graph.all_nodes():
             graph.color_node(node, sample_genesOfInterest)
@@ -356,9 +383,15 @@ def run_pipeline(args) -> None:
     if not args.quiet:
         sys.stderr.write("\namira-tpu: building corrected gene-mer graph.\n")
     with phase("final_graph_build", items=len(new_annotatedReads), unit="reads"):
-        graph = build_graph(
-            new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, build_cache
-        )
+        if use_dist:
+            graph = _mesh_build(
+                new_annotatedReads, geneMer_size, new_gene_position_dict
+            )
+        else:
+            graph = build_graph(
+                new_annotatedReads, geneMer_size, new_gene_position_dict,
+                vocab, build_cache,
+            )
     write_pandora_gene_calls(
         args.output_dir,
         new_gene_position_dict,

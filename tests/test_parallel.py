@@ -171,3 +171,45 @@ def test_scaling_report_shape():
     assert rows[0]["efficiency"] == 1.0
     assert all(r["reads_per_sec"] > 0 for r in rows)
     assert len(rows) >= 2
+
+
+def test_distributed_full_graph_build_equals_single_device():
+    """The collective-merged FULL graph (nodes, coverage, reads, edges,
+    endpoints, insertion order, incidence) equals a single-device build on a
+    real fixture — the pipeline's distributed build mode
+    (distgraph.distributed_graph_build)."""
+    import json
+
+    from amira_tpu.graph import GeneMerGraph
+    from amira_tpu.parallel.distgraph import distributed_graph_build
+    from amira_tpu.vocab import GeneVocab
+
+    calls = json.load(
+        open("/root/reference/tests/complex_gene_calls_nine.json")
+    )
+    positions = json.load(
+        open("/root/reference/tests/complex_gene_positions_nine.json")
+    )
+    mesh = Mesh(np.array(jax.devices()).reshape(len(jax.devices())), ("data",))
+    vocab = GeneVocab()
+    g1 = GeneMerGraph(dict(calls), 3, positions, vocab=vocab)
+    g2 = distributed_graph_build(
+        dict(calls), 3, mesh, vocab=vocab, gene_positions=positions
+    )
+    sn, dn = g1.get_nodes(), g2.get_nodes()
+    assert list(sn.keys()) == list(dn.keys())
+    for h in sn:
+        a, b = sn[h], dn[h]
+        assert a.coverage == b.coverage
+        assert a.reads == b.reads
+        assert a.fwd_edges == b.fwd_edges and a.bwd_edges == b.bwd_edges
+        assert (a.tokens == b.tokens).all()
+    se, de = g1.get_edges(), g2.get_edges()
+    assert list(se.keys()) == list(de.keys())
+    for key in se:
+        a, b = se[key], de[key]
+        assert (a.src, a.tgt, a.src_dir, a.tgt_dir, a.coverage) == (
+            b.src, b.tgt, b.src_dir, b.tgt_dir, b.coverage
+        )
+    assert g1.get_readNodes() == g2.get_readNodes()
+    assert g1.get_readNodePositions() == g2.get_readNodePositions()

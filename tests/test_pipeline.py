@@ -106,3 +106,12 @@ def test_results_tsv_matches_committed_golden(tmp_path):
         os.path.dirname(__file__), "goldens", "amira_results_seed7.tsv"
     )
     assert open(tsv).read() == open(golden).read()
+
+
+def test_dist_build_produces_identical_results(tmp_path):
+    """--dist-build shards the initial/final graph builds over the 8-device
+    test mesh; the TSV must be byte-identical to the single-device run."""
+    files = make_isolate(str(tmp_path / "data"), seed=3, n_reads=70)
+    tsv_single = _run_cli(files, str(tmp_path / "out_single"))
+    tsv_dist = _run_cli(files, str(tmp_path / "out_dist"), extra=("--dist-build",))
+    assert open(tsv_dist).read() == open(tsv_single).read()
