@@ -9,6 +9,8 @@ the same contains/suffix queries; all answers are identical.
 
 from __future__ import annotations
 
+import numpy as np
+
 from amira_tpu.stree import SequenceIndex, find_sublist_indices, is_sublist
 
 
@@ -235,6 +237,60 @@ def process_anchors(
             )
 
 
+def process_anchors_from_positions(
+    node_index, anchor_pos, nodeAnchors, a1, full_blocks, threshold, ctx_memo
+):
+    """process_anchors without materializing the per-anchor reversed-suffix
+    sub-index: blocks come straight from each read's anchor-position lists.
+
+    For anchor a1, the reversed suffix of read `sid` starts at a1's FIRST
+    occurrence p1; an occurrence of a2 at position i >= p1 contributes the
+    block reversed(seq[p1:i+1]) — exactly what get_blocks_from_index
+    extracts from the sub-index, in the same (read-major, i-descending)
+    order, so block_reads/block_duplicates contents and insertion order are
+    identical."""
+    suffix_sids = []
+    p1_of: dict = {}
+    for sid, pos in node_index.posting_pairs(a1):
+        if sid not in p1_of:
+            p1_of[sid] = pos
+            suffix_sids.append(sid)
+    blocks_by_a2: dict = {}
+    for sid in suffix_sids:
+        amap = anchor_pos.get(sid)
+        if not amap:
+            continue
+        p1 = p1_of[sid]
+        seq = node_index.sequences[sid]
+        is_fwd = "_reverse" not in str(sid)
+        for a2, apos in amap.items():
+            if a2 == a1:
+                continue
+            entry = blocks_by_a2.get(a2)
+            if entry is None:
+                entry = blocks_by_a2[a2] = ({}, {})
+            block_reads, block_duplicates = entry
+            for i in reversed(apos):
+                if i < p1:
+                    break
+                cand = seq[p1 : i + 1]
+                block_duplicates[tuple(get_canonical_representation(cand))] = False
+                if is_fwd and (
+                    sid not in block_reads or len(cand) > len(block_reads[sid])
+                ):
+                    block_reads[sid] = cand
+    for a2 in nodeAnchors:
+        if a2 == a1 or a2 not in blocks_by_a2:
+            continue
+        block_reads, block_duplicates = blocks_by_a2[a2]
+        contexts = generate_contexts(
+            block_reads, block_duplicates, node_index.sequences, ctx_memo
+        )
+        generate_full_paths(
+            contexts, block_duplicates, full_blocks, node_index, threshold
+        )
+
+
 def filter_blocks(full_blocks):
     """Drop node-blocks contained (fw or rv) in an already-kept longer block
     (path_finding_utils.py:250-259)."""
@@ -256,8 +312,14 @@ def filter_blocks(full_blocks):
 def get_all_sublists(gene_index: SequenceIndex, lst, threshold, geneOfInterest):
     """All gene windows of the unitig containing every copy of the gene, with
     read support >= threshold (construct_graph.py:2711-2723 +
-    path_finding_utils.py:296-310). One shared index replaces the
-    per-worker suffix-tree rebuilds."""
+    path_finding_utils.py:296-310).
+
+    Support counting runs in one pass: every candidate window spans the
+    maximal [first_copy, last_copy] core, so a window occurs in a read
+    exactly where a core occurrence extends left/right through the window's
+    extra symbols. One find_all(core) plus per-occurrence extent arithmetic
+    and a 2D suffix-sum histogram replaces one contains-query per window —
+    identical window keys, counts, and insertion order."""
     sublists = {}
     fw, bw = f"+{geneOfInterest}", f"-{geneOfInterest}"
     copy_idx = [i for i, g in enumerate(lst) if g == fw or g == bw]
@@ -277,15 +339,95 @@ def get_all_sublists(gene_index: SequenceIndex, lst, threshold, geneOfInterest):
     # all O(L^2) windows (identical key set: windows are dict keys, so
     # duplicate contents collapse either way)
     first, last = copy_idx[0], copy_idx[-1]
+    n_left = first + 1  # window starts s; a = first - s counts left symbols
+    n_right = len(lst) - last  # window ends e; b = e - last right symbols
+    core = lst[first : last + 1]
+    # per occurrence, vectorized (L, R) extents of the core occurrence (an
+    # occurrence of the (s, e) window in a read IS a core occurrence
+    # extending first-s left and e-last right, because every window
+    # occurrence contains a core occurrence at a fixed offset)
+    starts, seq_idx = gene_index.find_all_abs(core)
+    if len(starts) == 0:
+        return sublists
+    tok, off = gene_index.tok, gene_index.off
+    sym_of = gene_index._sym_ids.get
+    n_occ = len(starts)
+    L = np.zeros(n_occ, dtype=np.int64)
+    alive = np.ones(n_occ, dtype=bool)
+    lo = off[seq_idx]
+    for t in range(first):
+        want = sym_of(lst[first - 1 - t])
+        if want is None:
+            break
+        p = starts - 1 - t
+        ok = alive & (p >= lo)
+        ok[ok] = tok[p[ok]] == want
+        L[ok] += 1
+        alive = ok
+        if not alive.any():
+            break
+    end0 = starts + (last - first)
+    hi = off[seq_idx + 1]
+    R = np.zeros(n_occ, dtype=np.int64)
+    alive = np.ones(n_occ, dtype=bool)
+    for t in range(n_right - 1):
+        want = sym_of(lst[last + 1 + t])
+        if want is None:
+            break
+        p = end0 + 1 + t
+        ok = alive & (p < hi)
+        ok[ok] = tok[p[ok]] == want
+        R[ok] += 1
+        alive = ok
+        if not alive.any():
+            break
+    # occurrences of a read and of its "_reverse" twin count as ONE read
+    base_idx = getattr(gene_index, "_base_idx", None)
+    if base_idx is None:
+        interned: dict = {}
+        base_idx = np.empty(len(gene_index._sids), dtype=np.int64)
+        for i, sid in enumerate(gene_index._sids):
+            b = str(sid).replace("_reverse", "")
+            base_idx[i] = interned.setdefault(b, len(interned))
+        gene_index._base_idx = base_idx
+    base = base_idx[seq_idx]
+    # a read supports window (a = first-s left, b = e-last right symbols)
+    # iff some occurrence has L >= a and R >= b: a union of staircase
+    # rectangles [0..L]x[0..R]. Inclusion-exclusion over each read's pareto
+    # frontier gives signed corner points; one scatter-add plus a 2D suffix
+    # sum counts every window at once.
+    order = np.lexsort((-R, -L, base))
+    b_s, L_s, R_s = base[order], L[order], R[order]
+    new_grp = np.empty(n_occ, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = b_s[1:] != b_s[:-1]
+    grp = np.cumsum(new_grp) - 1
+    # exclusive running max of R within each group (L is descending inside
+    # a group, so a point is on the pareto frontier iff its R strictly
+    # exceeds every earlier R in its group)
+    big = np.int64(n_right + 1)
+    keyed = grp * big + R_s
+    run = np.maximum.accumulate(keyed)
+    prev = np.empty(n_occ, dtype=np.int64)
+    prev[0] = -1
+    prev[1:] = run[:-1] - grp[1:] * big  # negative at group starts
+    keep = R_s > np.maximum(prev, -1)
+    keep[new_grp] = True
+    kL, kR, kg = L_s[keep], R_s[keep], grp[keep]
+    corner = np.zeros((n_left, n_right), dtype=np.int64)
+    np.add.at(corner, (kL, kR), 1)
+    same = np.nonzero(kg[1:] == kg[:-1])[0]  # consecutive frontier pairs
+    if len(same):
+        np.add.at(corner, (kL[same + 1], kR[same]), -1)
+    support = np.cumsum(np.cumsum(corner[::-1, ::-1], axis=0), axis=1)[
+        ::-1, ::-1
+    ]
     for start in range(first + 1):
+        a = first - start
         for end in range(last, len(lst)):
-            comb = tuple(lst[start : end + 1])
-            reads_with_path = {
-                str(sid).replace("_reverse", "")
-                for sid in gene_index.find_ids(list(comb))
-            }
-            if len(reads_with_path) >= threshold:
-                sublists[comb] = len(reads_with_path)
+            count = int(support[a, end - last])
+            if count >= threshold:
+                sublists[tuple(lst[start : end + 1])] = count
     return sublists
 
 
@@ -299,14 +441,16 @@ def get_full_paths(
     differentiating gene window per block (construct_graph.py:2725-2782)."""
     full_blocks: dict = {}
     ctx_memo: dict = {}
+    # per-read anchor positions, shared by every a1 (replaces one reversed-
+    # suffix sub-index build per anchor; see process_anchors_from_positions)
+    anchor_pos: dict = {}
+    for a in nodeAnchors:
+        for sid, pos in node_index.posting_pairs(a):
+            anchor_pos.setdefault(sid, {}).setdefault(a, []).append(pos)
     for a1 in nodeAnchors:
-        suffixes = node_index.suffixes_from(a1)
-        reversed_suffixes = {r: list(reversed(s)) for r, s in suffixes.items()}
-        # the sub-index is only ever queried by single anchor symbols
-        sub_index = SequenceIndex(reversed_suffixes, symbols=nodeAnchors)
-        process_anchors(
-            sub_index, nodeAnchors, a1, full_blocks, node_index.sequences,
-            node_index, threshold, ctx_memo,
+        process_anchors_from_positions(
+            node_index, anchor_pos, nodeAnchors, a1, full_blocks, threshold,
+            ctx_memo,
         )
     gene_index = SequenceIndex(gene_call_subset)
     gene_blocks: dict = {}
@@ -317,14 +461,18 @@ def get_full_paths(
             unitig_gene_cache[f] = graph.get_genes_in_unitig(list(f))
         return unitig_gene_cache[f]
 
+    sublists_memo: dict = {}
     for f in full_blocks:
         try:
             genes_in_path = genes_of(f)
         except (ValueError, AssertionError, KeyError):
             continue
-        all_sublists = get_all_sublists(
-            gene_index, genes_in_path, threshold, geneOfInterest
-        )
+        gkey = tuple(genes_in_path)
+        if gkey not in sublists_memo:
+            sublists_memo[gkey] = get_all_sublists(
+                gene_index, genes_in_path, threshold, geneOfInterest
+            )
+        all_sublists = sublists_memo[gkey]
         if len(all_sublists) > 0:
             gene_blocks[f] = all_sublists
     filtered_blocks = filter_blocks({f: full_blocks[f] for f in gene_blocks})
@@ -386,7 +534,7 @@ def get_paths_for_gene(
 
 def split_into_subpaths(
     graph, geneOfInterest, pathsOfInterest, path_coverages, path_reads,
-    mean_node_coverage=None,
+    mean_node_coverage=None, candidate_reads=None,
 ):
     """Name alleles <gene>_<n> per path copy and collect per-read allele
     sequence spans (construct_graph.py:2360-2455)."""
@@ -395,13 +543,21 @@ def split_into_subpaths(
     if mean_node_coverage is None:
         mean_node_coverage = graph.get_mean_node_coverage()
     read_tracking: dict = {}
-    # every differentiating path contains the gene of interest, so only
-    # reads carrying the gene can match it (fw or rc) — prefilter once
-    candidate_reads = [
-        read_id
-        for read_id, genes in graph.get_reads().items()
-        if any(g[1:] == geneOfInterest for g in genes)
-    ]
+    if candidate_reads is None:
+        # every differentiating path contains the gene of interest, so only
+        # reads carrying the gene can match it (fw or rc) — prefilter once
+        # (assign_reads_to_genes precomputes this for all genes in one pass)
+        candidate_reads = [
+            read_id
+            for read_id, genes in graph.get_reads().items()
+            if any(g[1:] == geneOfInterest for g in genes)
+        ]
+    # one posting-list index over the candidates answers every path's
+    # occurrence query; the per-read is_sublist scans were the scale
+    # bottleneck (O(paths x reads x len))
+    cand_index = SequenceIndex(
+        {r: graph.get_reads()[r] for r in candidate_reads}
+    )
     for path in pathsOfInterest:
         modified_path = list(path)
         genes_in_path = list(path)
@@ -418,15 +574,19 @@ def split_into_subpaths(
                 modified_path[g] = f"{genes_in_path[g][0]}{name}"
                 allele_count += 1
         modified_path = tuple(modified_path)
+        m = len(genes_in_path)
+        fw_occ: dict = {}
+        for sid, st in cand_index.find_all(genes_in_path):
+            fw_occ.setdefault(sid, []).append((st, st + m - 1))
+        rv_occ: dict = {}
+        for sid, st in cand_index.find_all(reverse_genes_in_path):
+            rv_occ.setdefault(sid, []).append((st, st + m - 1))
         for read_id in candidate_reads:
-            genes_on_read = graph.get_reads()[read_id]
-            if is_sublist(genes_on_read, genes_in_path):
-                positions_of_path = find_sublist_indices(genes_on_read, genes_in_path)
+            if read_id in fw_occ:
+                positions_of_path = fw_occ[read_id]
                 indices_in_path = fw_indices
-            elif is_sublist(genes_on_read, reverse_genes_in_path):
-                positions_of_path = find_sublist_indices(
-                    genes_on_read, reverse_genes_in_path
-                )
+            elif read_id in rv_occ:
+                positions_of_path = rv_occ[read_id]
                 indices_in_path = rv_indices
             else:
                 continue
@@ -539,6 +699,18 @@ def assign_reads_to_genes(
     path_reads: dict = {}
     if mean_node_coverage is None:
         mean_node_coverage = graph.get_mean_node_coverage()
+    # one pass over all reads collects every gene's subpath candidates
+    # (same order and content as split_into_subpaths' per-gene prefilter)
+    genes_wanted = set(listOfGenes)
+    rc_cache: dict = {}  # read -> reversed gene list, shared across genes
+    candidates_by_gene: dict = {g: [] for g in genes_wanted}
+    for read_id, genes in graph.get_reads().items():
+        seen_here = set()
+        for g in genes:
+            base = g[1:]
+            if base in genes_wanted and base not in seen_here:
+                seen_here.add(base)
+                candidates_by_gene[base].append(read_id)
     for geneOfInterest in sorted(listOfGenes):
         nodesOfInterest = graph.get_nodes_containing(geneOfInterest)
         nodeHashesOfInterest = [n.hash for n in nodesOfInterest]
@@ -549,10 +721,13 @@ def assign_reads_to_genes(
             {r: graph.get_readNodes()[r] for r in reads_with_gene}
         )
         gene_call_subset = {r: graph.get_reads()[r] for r in reads_with_gene}
-        rc_reads = {
-            r + "_reverse": graph.reverse_list_of_genes(gene_call_subset[r])
-            for r in gene_call_subset
-        }
+        rc_reads = {}
+        for r in gene_call_subset:
+            rv = rc_cache.get(r)
+            if rv is None:
+                rv = graph.reverse_list_of_genes(gene_call_subset[r])
+                rc_cache[r] = rv
+            rc_reads[r + "_reverse"] = rv
         gene_call_subset = {**gene_call_subset, **rc_reads}
         pathsOfInterest, pathCoverages = get_paths_for_gene(
             graph,
@@ -565,6 +740,7 @@ def assign_reads_to_genes(
         finalAllelesOfInterest, path_reads = split_into_subpaths(
             graph, geneOfInterest, pathsOfInterest, pathCoverages, path_reads,
             mean_node_coverage,
+            candidate_reads=candidates_by_gene[geneOfInterest],
         )
         assign_final_alleles_to_components(
             graph, finalAllelesOfInterest, clustered_reads, allele_counts,

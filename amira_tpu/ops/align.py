@@ -1,15 +1,20 @@
-"""Banded affine-gap local alignment on device (minimap2 replacement).
+"""Banded two-piece-affine local alignment on device (minimap2 replacement).
 
 The reference shells out to minimap2 (`-a --MD -x map-ont --eqx`,
 result_utils.py:259-276) for read->allele and allele->allele alignment. Here
-alignment is a batched JAX kernel: a scan over query rows carrying M/I/D
-band-vectors, with the horizontal (deletion) recurrence rewritten as a
-cumulative max so every lane of the band updates in parallel on the VPU.
-Traceback directions are packed into one byte per cell and walked on the
-host to produce =/X/I/D CIGARs (minimap2 --eqx semantics).
+alignment is a batched JAX kernel: a scan over query rows carrying
+M/I/D/I2/D2 band-vectors (two-piece affine gaps, minimap2's -O 4,24 -E 2,1),
+with each horizontal (deletion) recurrence rewritten as a cumulative max so
+every lane of the band updates in parallel on the VPU. Traceback directions
+are packed into one byte per cell and walked on the host to produce =/X/I/D
+CIGARs (minimap2 --eqx semantics).
 
-Band placement comes from shared-15-mer seed diagonals (the seed-chain step
-of seed-chain-extend); pairs with no seeds are reported unmapped.
+Band placement is seed-chain-extend: shared-15-mer hits are clustered by
+diagonal into chains, the top chains each get a banded extension, z-drop
+(minimap2 -z) splits alignments across bad joins, and collinear chain pieces
+are stitched back together with two-piece gap costs — so a read with a
+structural gap wider than the band still maps as one alignment with a long
+I/D run. Pairs with no seeds are reported unmapped.
 """
 
 from __future__ import annotations
@@ -25,16 +30,26 @@ from amira_tpu.sketch import encode_dna
 
 NEG = -(2**28)
 
-# ONT-style scoring (minimap2 map-ont: A=2, B=4, O=4, E=2)
+# ONT-style scoring (minimap2 map-ont: A=2, B=4, O=4,24, E=2,1, z=400)
 MATCH = 2
 MISMATCH = -4
-GAP_OPEN = 6  # first gap base: O + E
+GAP_OPEN = 6  # first gap base, short piece: O1 + E1
 GAP_EXT = 2
+GAP_OPEN2 = 25  # first gap base, long piece: O2 + E2
+GAP_EXT2 = 1
+ZDROP = 400
+
+
+def gap_cost(g: int) -> int:
+    """Two-piece affine cost of a gap of length g (minimap2 semantics)."""
+    if g <= 0:
+        return 0
+    return min(GAP_OPEN + (g - 1) * GAP_EXT, GAP_OPEN2 + (g - 1) * GAP_EXT2)
 
 
 @partial(jax.jit, static_argnames=("W",))
 def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
-    """One banded local alignment.
+    """One banded local alignment with two-piece affine gaps.
 
     q:        (Lq,) uint8 query codes (0..3, 4=N/pad)
     r_padded: uint8 ref codes padded with 4s, real ref at offset W + Lq
@@ -42,17 +57,19 @@ def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
     dlo:      scalar band lower diagonal (j - i >= dlo)
     Returns (tb, best, best_i, best_w, best_state):
       tb: (Lq, W) uint8 packed traceback
-          bits 0-1: M predecessor (0 start, 1 M, 2 I, 3 D)
-          bit 2: I extends (else opens from M)
-          bit 3: D extends (else opens from M)
-      best_state: 0=M, 1=I, 2=D at the maximum cell
+          bits 0-2: M predecessor (0 start, 1 M, 2 I, 3 D, 4 I2, 5 D2)
+          bit 3: I extends (else opens from M)
+          bit 4: D extends (else opens from M)
+          bit 5: I2 extends (else opens from M)
+          bit 6: D2 extends (else opens from M)
+      best_state: 0=M, 1=I, 2=D, 3=I2, 4=D2 at the maximum cell
     """
     Lq = q.shape[0]
     neg = jnp.int32(NEG)
     w_idx = jnp.arange(W, dtype=jnp.int32)
 
     def row(carry, i):
-        M_prev, I_prev, D_prev, best, bi, bw, bs = carry
+        M_prev, I_prev, D_prev, I2_prev, D2_prev, best, bi, bw, bs = carry
         qc = q[i]
         # ref chars for this row's band: j = i + dlo + w (offset W+Lq pad)
         rwin = jax.lax.dynamic_slice_in_dim(r_padded, i + dlo + W + Lq, W)
@@ -60,11 +77,22 @@ def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
         in_ref = (j >= 0) & (rwin != 4)
         s = jnp.where(rwin == qc, MATCH, MISMATCH)
         # diagonal move: (i-1, j-1) is the same w in band coordinates
-        prev_best = jnp.maximum(jnp.maximum(M_prev, I_prev), D_prev)
+        gap_best = jnp.maximum(
+            jnp.maximum(I_prev, D_prev), jnp.maximum(I2_prev, D2_prev)
+        )
+        prev_best = jnp.maximum(M_prev, gap_best)
         m_pred = jnp.where(
-            M_prev >= jnp.maximum(I_prev, D_prev),
+            M_prev >= gap_best,
             1,
-            jnp.where(I_prev >= D_prev, 2, 3),
+            jnp.where(
+                I_prev >= jnp.maximum(D_prev, jnp.maximum(I2_prev, D2_prev)),
+                2,
+                jnp.where(
+                    D_prev >= jnp.maximum(I2_prev, D2_prev),
+                    3,
+                    jnp.where(I2_prev >= D2_prev, 4, 5),
+                ),
+            ),
         ).astype(jnp.uint8)
         # a fresh local start treats any non-positive (or out-of-band)
         # predecessor as score 0
@@ -76,15 +104,21 @@ def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
             jnp.uint8
         )
         M_cur = jnp.where(in_ref, M_cur, neg)
-        # vertical move (insertion in query): from (i-1, j) = band w+1
+        # vertical moves (insertion in query): from (i-1, j) = band w+1
         M_up = jnp.concatenate([M_prev[1:], jnp.full((1,), neg, jnp.int32)])
         I_up = jnp.concatenate([I_prev[1:], jnp.full((1,), neg, jnp.int32)])
+        I2_up = jnp.concatenate([I2_prev[1:], jnp.full((1,), neg, jnp.int32)])
         I_open = M_up - GAP_OPEN
         I_ext = I_up - GAP_EXT
         I_cur = jnp.maximum(I_open, I_ext)
-        i_bits = (I_ext >= I_open).astype(jnp.uint8) << 2
+        i_bits = (I_ext >= I_open).astype(jnp.uint8) << 3
         I_cur = jnp.where(in_ref, I_cur, neg)
-        # horizontal move (deletion in ref): sequential in w, computed as a
+        I2_open = M_up - GAP_OPEN2
+        I2_ext = I2_up - GAP_EXT2
+        I2_cur = jnp.maximum(I2_open, I2_ext)
+        i2_bits = (I2_ext >= I2_open).astype(jnp.uint8) << 5
+        I2_cur = jnp.where(in_ref, I2_cur, neg)
+        # horizontal moves (deletion in ref): sequential in w, computed as a
         # cumulative max:  D[w] = max_{w0 < w} M[w0] - OPEN - (w-1-w0)*EXT
         A = M_cur + w_idx * GAP_EXT
         A_cum = jax.lax.cummax(A)
@@ -94,22 +128,49 @@ def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
         # direction bit: did D extend from D[w-1] or open from M[w-1]?
         D_left = jnp.concatenate([jnp.full((1,), neg, jnp.int32), D_cur[:-1]])
         M_left = jnp.concatenate([jnp.full((1,), neg, jnp.int32), M_cur[:-1]])
-        d_bits = ((D_left - GAP_EXT) >= (M_left - GAP_OPEN)).astype(jnp.uint8) << 3
+        d_bits = ((D_left - GAP_EXT) >= (M_left - GAP_OPEN)).astype(jnp.uint8) << 4
         D_cur = jnp.where(in_ref, D_cur, neg)
+        A2 = M_cur + w_idx * GAP_EXT2
+        A2_cum = jax.lax.cummax(A2)
+        A2_shift = jnp.concatenate(
+            [jnp.full((1,), neg, jnp.int32), A2_cum[:-1]]
+        )
+        D2_cur = A2_shift - GAP_OPEN2 - (w_idx - 1) * GAP_EXT2
+        D2_cur = jnp.maximum(D2_cur, neg)
+        D2_left = jnp.concatenate(
+            [jnp.full((1,), neg, jnp.int32), D2_cur[:-1]]
+        )
+        d2_bits = (
+            (D2_left - GAP_EXT2) >= (M_left - GAP_OPEN2)
+        ).astype(jnp.uint8) << 6
+        D2_cur = jnp.where(in_ref, D2_cur, neg)
 
         live = i < q_len
         M_cur = jnp.where(live, M_cur, neg)
         I_cur = jnp.where(live, I_cur, neg)
         D_cur = jnp.where(live, D_cur, neg)
-        tb_row = m_bits | i_bits | d_bits
+        I2_cur = jnp.where(live, I2_cur, neg)
+        D2_cur = jnp.where(live, D2_cur, neg)
+        tb_row = m_bits | i_bits | d_bits | i2_bits | d2_bits
 
         # track the global maximum cell and its state
-        row_best_state = jnp.where(
-            M_cur >= jnp.maximum(I_cur, D_cur),
-            0,
-            jnp.where(I_cur >= D_cur, 1, 2),
+        gap_cur = jnp.maximum(
+            jnp.maximum(I_cur, D_cur), jnp.maximum(I2_cur, D2_cur)
         )
-        row_vals = jnp.maximum(jnp.maximum(M_cur, I_cur), D_cur)
+        row_best_state = jnp.where(
+            M_cur >= gap_cur,
+            0,
+            jnp.where(
+                I_cur >= jnp.maximum(D_cur, jnp.maximum(I2_cur, D2_cur)),
+                1,
+                jnp.where(
+                    D_cur >= jnp.maximum(I2_cur, D2_cur),
+                    2,
+                    jnp.where(I2_cur >= D2_cur, 3, 4),
+                ),
+            ),
+        )
+        row_vals = jnp.maximum(M_cur, gap_cur)
         rw = jnp.argmax(row_vals)
         rv = row_vals[rw]
         upd = rv > best
@@ -117,11 +178,15 @@ def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
         bi = jnp.where(upd, i, bi)
         bw = jnp.where(upd, rw.astype(jnp.int32), bw)
         bs = jnp.where(upd, row_best_state[rw], bs)
-        return (M_cur, I_cur, D_cur, best, bi, bw, bs), tb_row
+        return (
+            M_cur, I_cur, D_cur, I2_cur, D2_cur, best, bi, bw, bs
+        ), tb_row
 
     init = (
         # virtual row -1: H = 0 everywhere (fresh local starts), gaps closed
         jnp.zeros((W,), jnp.int32),
+        jnp.full((W,), neg, jnp.int32),
+        jnp.full((W,), neg, jnp.int32),
         jnp.full((W,), neg, jnp.int32),
         jnp.full((W,), neg, jnp.int32),
         jnp.int32(0),
@@ -129,7 +194,7 @@ def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
         jnp.int32(-1),
         jnp.int32(0),
     )
-    (M, I, D, best, bi, bw, bs), tb = jax.lax.scan(
+    (M, I, D, I2, D2, best, bi, bw, bs), tb = jax.lax.scan(
         row, init, jnp.arange(Lq, dtype=jnp.int32)
     )
     return tb, best, bi, bw, bs
@@ -216,23 +281,47 @@ def reverse_complement(seq: str) -> str:
 _KMER_SENTINEL = np.uint64(1) << np.uint64(62)
 
 
-def _seed_diagonal(qcodes, ref_index, k=15):
-    """Median seed diagonal (j - i) of shared k-mers, or None."""
+def _seed_chains(qcodes, ref_index, k=15, band_width=256, max_occ=8, max_chains=4):
+    """Cluster shared-k-mer diagonals into chains (minimap2's chaining stage).
+
+    All ref occurrences of each query k-mer (capped at max_occ to skip
+    repeats) contribute a (diagonal = ref_pos - q_pos) hit; hits are grouped
+    into chains wherever consecutive sorted diagonals jump by more than half
+    the band width. Returns up to max_chains (median_diag, n_seeds) tuples
+    sorted by seed count descending — each gets its own banded extension, so
+    a structural gap wider than the band shows up as two chains that the
+    stitcher rejoins."""
     qk = _forward_kmers(qcodes, k)
     qpos = np.nonzero(qk != _KMER_SENTINEL)[0]
     qk = qk[qpos]
     if len(qk) == 0:
-        return None
+        return []
     rk_codes, rk_pos = ref_index
     if len(rk_codes) == 0:
-        return None
-    idx = np.searchsorted(rk_codes, qk)
-    idx = np.clip(idx, 0, len(rk_codes) - 1)
-    hit = rk_codes[idx] == qk
-    if not hit.any():
-        return None
-    diags = rk_pos[idx[hit]] - qpos[hit]
-    return int(np.median(diags)), int(hit.sum())
+        return []
+    lo = np.searchsorted(rk_codes, qk, side="left")
+    hi = np.searchsorted(rk_codes, qk, side="right")
+    counts = hi - lo
+    keep = (counts > 0) & (counts <= max_occ)
+    if not keep.any():
+        return []
+    reps = counts[keep]
+    total = int(reps.sum())
+    # expand [lo, hi) ranges without a Python loop
+    starts = np.repeat(lo[keep], reps)
+    offsets = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(offsets, reps)
+    diags = rk_pos[starts + within] - np.repeat(qpos[keep], reps)
+    order = np.argsort(diags, kind="stable")
+    d_sorted = diags[order]
+    breaks = np.nonzero(np.diff(d_sorted) > band_width // 2)[0] + 1
+    bounds = np.concatenate([[0], breaks, [total]])
+    chains = []
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        seg = d_sorted[b0:b1]
+        chains.append((int(np.median(seg)), int(b1 - b0)))
+    chains.sort(key=lambda c: -c[1])
+    return chains[:max_chains]
 
 
 def _forward_kmers(codes: np.ndarray, k: int) -> np.ndarray:
@@ -277,21 +366,32 @@ def _traceback(tb, q, r, bi, bw, bstate, dlo):
         if state == 0:  # M
             j = i + dlo + w
             ops.append("=" if q[i] == r[j] else "X")
-            pred = byte & 3
+            pred = byte & 7
             i -= 1
             if pred == 0:
                 break
-            # pred: 1 -> M, 2 -> I, 3 -> D
-            state = {1: 0, 2: 1, 3: 2}[pred]
+            # pred: 1 -> M, 2 -> I, 3 -> D, 4 -> I2, 5 -> D2
+            state = {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}[pred]
         elif state == 1:  # I: consumes query, band w+1 in previous row
             ops.append("I")
-            ext = (byte >> 2) & 1
+            ext = (byte >> 3) & 1
             i -= 1
             w += 1
             state = 1 if ext else 0
+        elif state == 3:  # I2: long-piece insertion, same geometry as I
+            ops.append("I")
+            ext = (byte >> 5) & 1
+            i -= 1
+            w += 1
+            state = 3 if ext else 0
+        elif state == 4:  # D2: long-piece deletion, same geometry as D
+            ops.append("D")
+            ext = (byte >> 6) & 1
+            w -= 1
+            state = 4 if ext else 0
         else:  # D: consumes ref, band w-1 same row
             ops.append("D")
-            ext = (byte >> 3) & 1
+            ext = (byte >> 4) & 1
             w -= 1
             state = 2 if ext else 0
     q_start = i + 1
@@ -305,6 +405,219 @@ def _traceback(tb, q, r, bi, bw, bstate, dlo):
         else:
             cigar.append([op, 1])
     return [tuple(c) for c in cigar], q_start, r_start, q_end, r_end
+
+
+def _cigar_score(cigar) -> int:
+    """Exact two-piece-affine score of a cigar. Maximal I/D runs in a
+    traceback always live in one gap piece (I and D runs are separated by at
+    least one M op), so per-run gap_cost reproduces the DP's score."""
+    score = 0
+    for op, n in cigar:
+        if op == "=":
+            score += MATCH * n
+        elif op == "X":
+            score += MISMATCH * n
+        else:
+            score -= gap_cost(n)
+    return score
+
+
+def _push_op(cigar, op, n):
+    if n <= 0:
+        return
+    if cigar and cigar[-1][0] == op:
+        cigar[-1] = (op, cigar[-1][1] + n)
+    else:
+        cigar.append((op, n))
+
+
+def _piece_from_ops(aln, cum, s, e):
+    """Sub-alignment of aln covering op-boundary range [s, e), with leading/
+    trailing gap ops stripped so pieces start and end on aligned columns."""
+    cigar = list(aln.cigar[s:e])
+    q0 = aln.q_start + cum[s][0]
+    r0 = aln.r_start + cum[s][1]
+    q1 = aln.q_start + cum[e][0]
+    r1 = aln.r_start + cum[e][1]
+    while cigar and cigar[0][0] in "ID":
+        op, n = cigar.pop(0)
+        if op == "I":
+            q0 += n
+        else:
+            r0 += n
+    while cigar and cigar[-1][0] in "ID":
+        op, n = cigar.pop()
+        if op == "I":
+            q1 -= n
+        else:
+            r1 -= n
+    if not cigar:
+        return None
+    score = _cigar_score(cigar)
+    if score <= 0:
+        return None
+    return Alignment(
+        q_start=q0, q_end=q1, r_start=r0, r_end=r1,
+        score=score, cigar=cigar, q_len=aln.q_len, r_len=aln.r_len,
+    )
+
+
+def _zdrop_split(aln, z=ZDROP):
+    """Split an alignment wherever the running score falls more than z below
+    its running maximum (minimap2 -z): each kept piece ends at a running-max
+    boundary and the next piece restarts at the following score minimum, so
+    a bad join between two good blocks becomes two clean pieces (which the
+    stitcher may rejoin with an explicit long gap instead)."""
+    n_ops = len(aln.cigar)
+    if n_ops <= 1:
+        return [aln]
+    cum = [(0, 0, 0)]
+    q = r = sc = 0
+    for op, n in aln.cigar:
+        if op == "=":
+            sc += MATCH * n
+            q += n
+            r += n
+        elif op == "X":
+            sc += MISMATCH * n
+            q += n
+            r += n
+        elif op == "I":
+            sc -= gap_cost(n)
+            q += n
+        else:
+            sc -= gap_cost(n)
+            r += n
+        cum.append((q, r, sc))
+    pieces = []
+    s = 0
+    split_any = False
+    while s < n_ops:
+        max_b, max_rel = s, 0
+        cut = False
+        b = s
+        for b in range(s + 1, n_ops + 1):
+            rel = cum[b][2] - cum[s][2]
+            if rel > max_rel:
+                max_rel, max_b = rel, b
+            elif max_rel - rel > z:
+                cut = True
+                break
+        end = max_b if max_rel > 0 else s
+        if end > s:
+            piece = _piece_from_ops(aln, cum, s, end)
+            if piece is not None:
+                pieces.append(piece)
+        if not cut:
+            break
+        split_any = True
+        # restart at the score minimum after the kept piece
+        min_b, min_sc = end, cum[end][2]
+        for b2 in range(end + 1, n_ops + 1):
+            if cum[b2][2] < min_sc:
+                min_sc, min_b = cum[b2][2], b2
+        if min_b >= n_ops:
+            break
+        s = min_b
+    if not split_any:
+        return [aln]
+    return pieces
+
+
+def _trim_head(aln, q_min, r_min):
+    """Trim leading cigar ops until the alignment starts at or after
+    (q_min, r_min) in both coordinates; None if nothing usable remains."""
+    q, r = aln.q_start, aln.r_start
+    if q >= q_min and r >= r_min:
+        return aln
+    cigar = [list(c) for c in aln.cigar]
+    idx = 0
+    while idx < len(cigar) and (q < q_min or r < r_min):
+        op, n = cigar[idx]
+        if op in "=X":
+            need = max(q_min - q, r_min - r)
+            take = min(n, need)
+            q += take
+            r += take
+            if take == n:
+                idx += 1
+            else:
+                cigar[idx][1] = n - take
+                break
+        else:
+            if op == "I":
+                q += n
+            else:
+                r += n
+            idx += 1
+    rest = cigar[idx:]
+    while rest and rest[0][0] in "ID":
+        op, n = rest.pop(0)
+        if op == "I":
+            q += n
+        else:
+            r += n
+    if not rest or q >= aln.q_end or r >= aln.r_end:
+        return None
+    rest = [tuple(c) for c in rest]
+    score = _cigar_score(rest)
+    if score <= 0:
+        return None
+    return Alignment(
+        q_start=q, q_end=aln.q_end, r_start=r, r_end=aln.r_end,
+        score=score, cigar=rest, q_len=aln.q_len, r_len=aln.r_len,
+    )
+
+
+def _try_merge(a, b):
+    """Join two collinear pieces of the same (query, ref, strand) with
+    explicit two-piece gap costs; None unless the join beats both parts
+    (minimap2's long-gap patching between adjacent chains)."""
+    if (b.q_start, b.r_start) < (a.q_start, a.r_start):
+        a, b = b, a
+    b2 = _trim_head(b, a.q_end, a.r_end)
+    if b2 is None:
+        return None
+    q_gap = b2.q_start - a.q_end
+    r_gap = b2.r_start - a.r_end
+    sa = _cigar_score(a.cigar)
+    joined = sa + b2.score - gap_cost(q_gap) - gap_cost(r_gap)
+    if joined <= max(sa, _cigar_score(b.cigar)):
+        return None
+    cigar = list(a.cigar)
+    _push_op(cigar, "I", q_gap)
+    _push_op(cigar, "D", r_gap)
+    for op, n in b2.cigar:
+        _push_op(cigar, op, n)
+    return Alignment(
+        q_start=a.q_start, q_end=b2.q_end,
+        r_start=a.r_start, r_end=b2.r_end,
+        score=joined, cigar=cigar, q_len=a.q_len, r_len=a.r_len,
+    )
+
+
+def _stitch_pieces(pieces):
+    """Greedily merge collinear alignment pieces (from separate chain bands
+    or z-drop splits) until no join improves the score; returns the single
+    best resulting alignment."""
+    uniq = {}
+    for p in pieces:
+        uniq[(p.q_start, p.q_end, p.r_start, p.r_end, tuple(p.cigar))] = p
+    parts = sorted(uniq.values(), key=lambda x: (x.q_start, x.r_start))
+    while len(parts) > 1:
+        best = None
+        for x in range(len(parts)):
+            for y in range(x + 1, len(parts)):
+                m = _try_merge(parts[x], parts[y])
+                if m is not None and (best is None or m.score > best[0].score):
+                    best = (m, x, y)
+        if best is None:
+            break
+        m, x, y = best
+        parts = [p for i, p in enumerate(parts) if i not in (x, y)]
+        parts.append(m)
+        parts.sort(key=lambda a: (a.q_start, a.r_start))
+    return max(parts, key=lambda a: a.score)
 
 
 class Aligner:
@@ -332,10 +645,19 @@ class Aligner:
         for strand, qseq in (("+", seq), ("-", reverse_complement(seq))):
             qcodes = encode_dna(qseq)
             for name in names:
-                sd = _seed_diagonal(qcodes, self.ref_seed_index[name], self.seed_k)
-                if sd is None or sd[1] < min_seeds:
+                chains = _seed_chains(
+                    qcodes, self.ref_seed_index[name],
+                    self.seed_k, self.band_width,
+                )
+                if not chains:
                     continue
-                jobs.append(((rid, name), strand, qseq, sd[0]))
+                top = chains[0][1]
+                for diag, cnt in chains:
+                    # secondary chains need real support relative to the
+                    # primary, or noise spawns spurious extension jobs
+                    if cnt < min_seeds or cnt * 20 < top:
+                        continue
+                    jobs.append(((rid, name), strand, qseq, diag))
         return jobs
 
     def _run_jobs(self, jobs):
@@ -418,10 +740,19 @@ class Aligner:
         for rid, seq in reads.items():
             allowed = None if ref_subsets is None else ref_subsets.get(rid)
             jobs.extend(self._jobs_for(rid, seq, min_seeds, allowed))
-        results: dict = {}
+        raw: dict = {}
         for (rid, name), strand, _qseq, aln in self._run_jobs(jobs):
+            raw.setdefault((rid, name, strand), []).append(aln)
+        results: dict = {}
+        for (rid, name, strand), alns in raw.items():
+            pieces = []
+            for a in alns:
+                pieces.extend(_zdrop_split(a))
+            if not pieces:
+                continue
+            best = _stitch_pieces(pieces) if len(pieces) > 1 else pieces[0]
             per_read = results.setdefault(rid, {})
             prev = per_read.get(name)
-            if prev is None or aln.score > prev[1].score:
-                per_read[name] = (strand, aln)
+            if prev is None or best.score > prev[1].score:
+                per_read[name] = (strand, best)
         return results

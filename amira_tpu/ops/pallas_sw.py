@@ -1,10 +1,10 @@
-"""Pallas TPU kernel for banded affine Smith-Waterman.
+"""Pallas TPU kernel for banded two-piece-affine Smith-Waterman.
 
-Same contract as ops/align.py:_banded_sw_kernel, but the M/I/D band rows
-live in VMEM scratch across the whole row loop and the horizontal (deletion)
-recurrence is a Kogge-Stone prefix max (log2(W) shift-max steps) instead of
-lax.cummax — so each row update is a handful of (1, W) VPU ops with no HBM
-traffic beyond the packed traceback bytes.
+Same contract as ops/align.py:_banded_sw_kernel, but the M/I/D/I2/D2 band
+rows live in VMEM scratch across the whole row loop and each horizontal
+(deletion) recurrence is a Kogge-Stone prefix max (log2(W) shift-max steps)
+instead of lax.cummax — so each row update is a handful of (1, W) VPU ops
+with no HBM traffic beyond the packed traceback bytes.
 
 Used by ops/align.py when AMIRA_TPU_SW_ENGINE=pallas. Compiles and runs on
 real v5e hardware, bit-exact vs both interpret mode and the XLA scan kernel
@@ -24,10 +24,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from amira_tpu.ops.align import GAP_EXT, GAP_OPEN, MATCH, MISMATCH, NEG
+from amira_tpu.ops.align import (
+    GAP_EXT,
+    GAP_EXT2,
+    GAP_OPEN,
+    GAP_OPEN2,
+    MATCH,
+    MISMATCH,
+    NEG,
+)
 
 
-def _sw_kernel_body(q_ref, rw_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_scr):
+def _sw_kernel_body(
+    q_ref, rw_ref, meta_ref, tb_ref, best_ref,
+    m_scr, i_scr, d_scr, i2_scr, d2_scr,
+):
     """One alignment: q (1, Lq) in SMEM, pre-gathered band windows rw (Lq, W)
     in VMEM, meta = [q_len, dlo] in SMEM.
 
@@ -47,13 +58,16 @@ def _sw_kernel_body(q_ref, rw_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_s
     # all literals as int32: under jax x64, a Python-int branch of jnp.where
     # becomes int64 and the resulting int64->int32 converts recurse forever
     # in Mosaic's _convert_helper on this jaxlib build
-    c0, c1, c2, c3, c4, c8 = (jnp.int32(v) for v in (0, 1, 2, 3, 4, 8))
+    c0, c1, c2, c3, c4, c5 = (jnp.int32(v) for v in (0, 1, 2, 3, 4, 5))
+    c8, c16, c32, c64 = (jnp.int32(v) for v in (8, 16, 32, 64))
     cW = jnp.int32(W)
     match_s, mismatch_s = jnp.int32(MATCH), jnp.int32(MISMATCH)
 
     m_scr[...] = jnp.zeros((1, W), jnp.int32)  # virtual row -1: H = 0
     i_scr[...] = jnp.full((1, W), neg, jnp.int32)
     d_scr[...] = jnp.full((1, W), neg, jnp.int32)
+    i2_scr[...] = jnp.full((1, W), neg, jnp.int32)
+    d2_scr[...] = jnp.full((1, W), neg, jnp.int32)
     best_ref[batch, 0] = 0  # best score
     best_ref[batch, 1] = -1  # best i
     best_ref[batch, 2] = -1  # best w
@@ -72,16 +86,29 @@ def _sw_kernel_body(q_ref, rw_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_s
         M_prev = m_scr[...]
         I_prev = i_scr[...]
         D_prev = d_scr[...]
+        I2_prev = i2_scr[...]
+        D2_prev = d2_scr[...]
         qc = q_ref[0, i]
         rwin = rw_ref[pl.ds(i, 1), :]
         j = i + dlo + w_idx
         in_ref = (j >= 0) & (rwin != 4)
         s = jnp.where(rwin == qc, match_s, mismatch_s)
-        prev_best = jnp.maximum(jnp.maximum(M_prev, I_prev), D_prev)
+        gap_best = jnp.maximum(
+            jnp.maximum(I_prev, D_prev), jnp.maximum(I2_prev, D2_prev)
+        )
+        prev_best = jnp.maximum(M_prev, gap_best)
         m_pred = jnp.where(
-            M_prev >= jnp.maximum(I_prev, D_prev),
+            M_prev >= gap_best,
             c1,
-            jnp.where(I_prev >= D_prev, c2, c3),
+            jnp.where(
+                I_prev >= jnp.maximum(D_prev, jnp.maximum(I2_prev, D2_prev)),
+                c2,
+                jnp.where(
+                    D_prev >= jnp.maximum(I2_prev, D2_prev),
+                    c3,
+                    jnp.where(I2_prev >= D2_prev, c4, c5),
+                ),
+            ),
         )
         M_diag = jnp.maximum(prev_best, 0) + s
         M_cur = jnp.maximum(c0, M_diag)
@@ -90,11 +117,17 @@ def _sw_kernel_body(q_ref, rw_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_s
         # vertical (insertion): from band w+1 of the previous row
         M_up = shift_left(M_prev, neg)
         I_up = shift_left(I_prev, neg)
+        I2_up = shift_left(I2_prev, neg)
         I_open = M_up - GAP_OPEN
         I_ext = I_up - GAP_EXT
         I_cur = jnp.maximum(I_open, I_ext)
-        i_bits = jnp.where(I_ext >= I_open, c4, c0)
+        i_bits = jnp.where(I_ext >= I_open, c8, c0)
         I_cur = jnp.where(in_ref, I_cur, neg)
+        I2_open = M_up - GAP_OPEN2
+        I2_ext = I2_up - GAP_EXT2
+        I2_cur = jnp.maximum(I2_open, I2_ext)
+        i2_bits = jnp.where(I2_ext >= I2_open, c32, c0)
+        I2_cur = jnp.where(in_ref, I2_cur, neg)
         # horizontal (deletion): prefix max via Kogge-Stone shifts
         A = M_cur + w_idx * GAP_EXT
         shift = 1
@@ -105,8 +138,22 @@ def _sw_kernel_body(q_ref, rw_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_s
         D_cur = jnp.maximum(A_shift - GAP_OPEN - (w_idx - 1) * GAP_EXT, neg)
         D_left = shift_right_by(D_cur, 1, neg)
         M_left = shift_right_by(M_cur, 1, neg)
-        d_bits = jnp.where((D_left - GAP_EXT) >= (M_left - GAP_OPEN), c8, c0)
+        d_bits = jnp.where((D_left - GAP_EXT) >= (M_left - GAP_OPEN), c16, c0)
         D_cur = jnp.where(in_ref, D_cur, neg)
+        A2 = M_cur + w_idx * GAP_EXT2
+        shift = 1
+        while shift < W:
+            A2 = jnp.maximum(A2, shift_right_by(A2, shift, neg))
+            shift *= 2
+        A2_shift = shift_right_by(A2, 1, neg)
+        D2_cur = jnp.maximum(
+            A2_shift - GAP_OPEN2 - (w_idx - 1) * GAP_EXT2, neg
+        )
+        D2_left = shift_right_by(D2_cur, 1, neg)
+        d2_bits = jnp.where(
+            (D2_left - GAP_EXT2) >= (M_left - GAP_OPEN2), c64, c0
+        )
+        D2_cur = jnp.where(in_ref, D2_cur, neg)
 
         # vector (not scalar) liveness predicate: a scalar-bool jnp.where
         # over (1, W) operands is another grid-mode Mosaic 500 on this build
@@ -114,17 +161,34 @@ def _sw_kernel_body(q_ref, rw_ref, meta_ref, tb_ref, best_ref, m_scr, i_scr, d_s
         M_cur = jnp.where(live, M_cur, neg)
         I_cur = jnp.where(live, I_cur, neg)
         D_cur = jnp.where(live, D_cur, neg)
-        tb_ref[pl.ds(i, 1), :] = (m_bits + i_bits + d_bits).reshape(1, W)
+        I2_cur = jnp.where(live, I2_cur, neg)
+        D2_cur = jnp.where(live, D2_cur, neg)
+        tb_ref[pl.ds(i, 1), :] = (
+            m_bits + i_bits + d_bits + i2_bits + d2_bits
+        ).reshape(1, W)
         m_scr[...] = M_cur
         i_scr[...] = I_cur
         d_scr[...] = D_cur
+        i2_scr[...] = I2_cur
+        d2_scr[...] = D2_cur
 
-        row_state = jnp.where(
-            M_cur >= jnp.maximum(I_cur, D_cur),
-            c0,
-            jnp.where(I_cur >= D_cur, c1, c2),
+        gap_cur = jnp.maximum(
+            jnp.maximum(I_cur, D_cur), jnp.maximum(I2_cur, D2_cur)
         )
-        row_vals = jnp.maximum(jnp.maximum(M_cur, I_cur), D_cur)
+        row_state = jnp.where(
+            M_cur >= gap_cur,
+            c0,
+            jnp.where(
+                I_cur >= jnp.maximum(D_cur, jnp.maximum(I2_cur, D2_cur)),
+                c1,
+                jnp.where(
+                    D_cur >= jnp.maximum(I2_cur, D2_cur),
+                    c2,
+                    jnp.where(I2_cur >= D2_cur, c3, c4),
+                ),
+            ),
+        )
+        row_vals = jnp.maximum(M_cur, gap_cur)
         # best lane without 1-D argmax / dynamic vector indexing: the max
         # value, its first lane, and the state at that lane via reductions
         rv = jnp.max(row_vals)
@@ -201,6 +265,8 @@ def pallas_banded_sw(q, r_padded, q_len, dlo, W: int, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
+            pltpu.VMEM((1, W), jnp.int32),
+            pltpu.VMEM((1, W), jnp.int32),
             pltpu.VMEM((1, W), jnp.int32),
             pltpu.VMEM((1, W), jnp.int32),
             pltpu.VMEM((1, W), jnp.int32),
