@@ -81,12 +81,34 @@ def get_AMR_anchors(graph, AMRNodes):
 def construct_node_index(read_nodes: dict) -> SequenceIndex:
     """Index of per-read node-hash sequences plus their reverses (for reads
     visiting more than one distinct node), mirroring
-    path_finding_utils.py:79-85."""
-    seqs = dict(read_nodes)
-    for r in list(read_nodes.keys()):
-        if len(set(read_nodes[r])) != 1:
-            seqs[r + "_reverse"] = list(reversed(read_nodes[r]))
-    return SequenceIndex(seqs)
+    path_finding_utils.py:79-85.
+
+    Reads with identical node sequences are deduplicated: the index holds
+    one representative per distinct sequence (clustering runs after read
+    correction, where most reads share graph paths, so queries scale with
+    DISTINCT paths, not read count). `_rep_members` maps each representative
+    (and its `_reverse` twin) back to every read id in its group — the only
+    per-read answer downstream (generate_full_paths' read support) expands
+    through it; every other consumer depends only on the sequences, for
+    which representative-level answers are exact."""
+    seqs: dict = {}
+    members: dict = {}
+    seen: dict = {}
+    for r, nl in read_nodes.items():
+        key = tuple(nl)
+        rep = seen.get(key)
+        if rep is None:
+            seen[key] = rep = r
+            seqs[r] = nl
+            grp = members[r] = [r]
+            if len(set(nl)) != 1:
+                seqs[r + "_reverse"] = list(reversed(nl))
+                members[r + "_reverse"] = grp
+        else:
+            members[rep].append(r)
+    idx = SequenceIndex(seqs)
+    idx._rep_members = members
+    return idx
 
 
 def cluster_adjacent_paths(adjacent_paths, upstream: bool):
@@ -206,6 +228,7 @@ def generate_contexts(block_reads, block_duplicates, reads, ctx_memo=None):
 
 
 def generate_full_paths(contexts, block_duplicates, full_blocks, node_index, threshold):
+    members = getattr(node_index, "_rep_members", None)
     for c in contexts:
         if block_duplicates[c] is False:
             up_clusters = cluster_adjacent_paths(contexts[c]["upstream"], upstream=True)
@@ -214,10 +237,17 @@ def generate_full_paths(contexts, block_duplicates, full_blocks, node_index, thr
             )
             full_paths = [u + c + d for u in up_clusters for d in down_clusters]
             for f in full_paths:
-                reads_with_full_path = {
-                    str(sid).replace("_reverse", "")
-                    for sid in node_index.find_ids(list(f))
-                }
+                ids = node_index.find_ids(list(f))
+                if members is None:
+                    reads_with_full_path = {
+                        str(sid).replace("_reverse", "") for sid in ids
+                    }
+                else:
+                    # dedup index: fan matched representatives back out to
+                    # every read in their groups (identical sequences)
+                    reads_with_full_path = set()
+                    for sid in ids:
+                        reads_with_full_path.update(members[sid])
                 if len(reads_with_full_path) > 0:
                     full_blocks[tuple(f)] = reads_with_full_path
 
@@ -381,7 +411,10 @@ def get_all_sublists(gene_index: SequenceIndex, lst, threshold, geneOfInterest):
         alive = ok
         if not alive.any():
             break
-    # occurrences of a read and of its "_reverse" twin count as ONE read
+    # occurrences of a read and of its "_reverse" twin count as ONE read;
+    # on a dedup index (_weighted_gene_index) a "read" here is a linked
+    # group of identical sequences and counts with its base-read weight
+    weight = getattr(gene_index, "_base_weight", None)
     base_idx = getattr(gene_index, "_base_idx", None)
     if base_idx is None:
         interned: dict = {}
@@ -415,10 +448,11 @@ def get_all_sublists(gene_index: SequenceIndex, lst, threshold, geneOfInterest):
     keep[new_grp] = True
     kL, kR, kg = L_s[keep], R_s[keep], grp[keep]
     corner = np.zeros((n_left, n_right), dtype=np.int64)
-    np.add.at(corner, (kL, kR), 1)
+    kw = 1 if weight is None else weight[b_s[keep]]
+    np.add.at(corner, (kL, kR), kw)
     same = np.nonzero(kg[1:] == kg[:-1])[0]  # consecutive frontier pairs
     if len(same):
-        np.add.at(corner, (kL[same + 1], kR[same]), -1)
+        np.add.at(corner, (kL[same + 1], kR[same]), -1 if weight is None else -kw[same])
     support = np.cumsum(np.cumsum(corner[::-1, ::-1], axis=0), axis=1)[
         ::-1, ::-1
     ]
@@ -434,8 +468,88 @@ def get_all_sublists(gene_index: SequenceIndex, lst, threshold, geneOfInterest):
 # ----------------------------------------------------------- full path set
 
 
+def _weighted_gene_index(
+    gene_call_subset: dict, multiplicity: dict = None
+) -> SequenceIndex:
+    """Dedup gene-call sequences into one representative each and return a
+    SequenceIndex over the representatives, weighted so get_all_sublists
+    counts stay exact.
+
+    gene_call_subset holds every read twice (read and read_reverse with the
+    reversed calls), and support counts one distinct base read per
+    fw/rv pair. Groups are therefore unioned whenever they share a base
+    read name: a base read's fw and rv sequences land in complementary
+    groups, so every base read of a linked component has exactly the same
+    occurrence set as the component's representatives — counting each
+    component with weight = its distinct base-read count reproduces the
+    per-read union-of-rectangles tally."""
+    rep_seqs: dict = {}
+    rep_of: dict = {}
+    seen: dict = {}
+    for sid, seq in gene_call_subset.items():
+        key = tuple(seq)
+        rep = seen.get(key)
+        if rep is None:
+            seen[key] = rep = sid
+            rep_seqs[sid] = list(seq)
+        rep_of[sid] = rep
+    parent = {rep: rep for rep in rep_seqs}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    by_base: dict = {}
+    root_bases: dict = {}
+    for sid, rep in rep_of.items():
+        b = str(sid).replace("_reverse", "")
+        first = by_base.get(b)
+        if first is None:
+            by_base[b] = rep
+        else:
+            ra, rb = find(first), find(rep)
+            if ra != rb:
+                parent[ra] = rb
+    root_weight: dict = {}
+    if multiplicity is None:
+        for sid, rep in rep_of.items():
+            root = find(rep)
+            root_bases.setdefault(root, set()).add(
+                str(sid).replace("_reverse", "")
+            )
+        root_weight = {root: len(b) for root, b in root_bases.items()}
+    else:
+        # pre-deduplicated input: each sid stands for multiplicity[sid]
+        # base reads (reverse twins carry 0 — their reads are counted by
+        # their forward representative, which shares their base name)
+        for sid, rep in rep_of.items():
+            root = find(rep)
+            root_weight[root] = root_weight.get(root, 0) + multiplicity.get(
+                sid, 0
+            )
+    idx = SequenceIndex(rep_seqs)
+    root_id: dict = {}
+    weights: list = []
+    base_idx = np.empty(len(idx._sids), dtype=np.int64)
+    for i, sid in enumerate(idx._sids):
+        root = find(sid)
+        rid = root_id.get(root)
+        if rid is None:
+            rid = root_id[root] = len(weights)
+            weights.append(root_weight[root])
+        base_idx[i] = rid
+    idx._base_idx = base_idx
+    idx._base_weight = np.asarray(weights, dtype=np.int64)
+    return idx
+
+
 def get_full_paths(
-    graph, node_index, nodeAnchors, threshold, gene_call_subset, geneOfInterest
+    graph, node_index, nodeAnchors, threshold, gene_call_subset, geneOfInterest,
+    gene_multiplicity=None,
 ):
     """Anchor-pair context discovery -> clustered full paths -> the
     differentiating gene window per block (construct_graph.py:2725-2782)."""
@@ -452,7 +566,7 @@ def get_full_paths(
             node_index, anchor_pos, nodeAnchors, a1, full_blocks, threshold,
             ctx_memo,
         )
-    gene_index = SequenceIndex(gene_call_subset)
+    gene_index = _weighted_gene_index(gene_call_subset, gene_multiplicity)
     gene_blocks: dict = {}
     unitig_gene_cache: dict = {}
 
@@ -519,11 +633,13 @@ def get_singleton_paths(graph, all_seen_nodes, nodeAnchors, final_paths, final_p
 
 
 def get_paths_for_gene(
-    graph, node_index, gene_call_subset, nodeHashesOfInterest, threshold, geneOfInterest
+    graph, node_index, gene_call_subset, nodeHashesOfInterest, threshold,
+    geneOfInterest, gene_multiplicity=None,
 ):
     nodeAnchors = get_AMR_anchors(graph, nodeHashesOfInterest)
     final_paths, seen_nodes, final_path_coverages = get_full_paths(
-        graph, node_index, nodeAnchors, threshold, gene_call_subset, geneOfInterest
+        graph, node_index, nodeAnchors, threshold, gene_call_subset,
+        geneOfInterest, gene_multiplicity=gene_multiplicity,
     )
     get_singleton_paths(graph, seen_nodes, nodeAnchors, final_paths, final_path_coverages)
     return final_paths, final_path_coverages
@@ -554,10 +670,21 @@ def split_into_subpaths(
         ]
     # one posting-list index over the candidates answers every path's
     # occurrence query; the per-read is_sublist scans were the scale
-    # bottleneck (O(paths x reads x len))
-    cand_index = SequenceIndex(
-        {r: graph.get_reads()[r] for r in candidate_reads}
-    )
+    # bottleneck (O(paths x reads x len)). Identical gene-call sequences
+    # share one representative (occurrence positions depend only on the
+    # sequence), so index size and query cost scale with DISTINCT calls.
+    reads_map = graph.get_reads()
+    cand_rep_seqs: dict = {}
+    cand_rep_of: dict = {}
+    _seen_seqs: dict = {}
+    for r in candidate_reads:
+        key = tuple(reads_map[r])
+        rep = _seen_seqs.get(key)
+        if rep is None:
+            _seen_seqs[key] = rep = r
+            cand_rep_seqs[r] = reads_map[r]
+        cand_rep_of[r] = rep
+    cand_index = SequenceIndex(cand_rep_seqs)
     for path in pathsOfInterest:
         modified_path = list(path)
         genes_in_path = list(path)
@@ -581,12 +708,15 @@ def split_into_subpaths(
         rv_occ: dict = {}
         for sid, st in cand_index.find_all(reverse_genes_in_path):
             rv_occ.setdefault(sid, []).append((st, st + m - 1))
+        if not fw_occ and not rv_occ:
+            continue
         for read_id in candidate_reads:
-            if read_id in fw_occ:
-                positions_of_path = fw_occ[read_id]
+            rep = cand_rep_of[read_id]
+            if rep in fw_occ:
+                positions_of_path = fw_occ[rep]
                 indices_in_path = fw_indices
-            elif read_id in rv_occ:
-                positions_of_path = rv_occ[read_id]
+            elif rep in rv_occ:
+                positions_of_path = rv_occ[rep]
                 indices_in_path = rv_indices
             else:
                 continue
@@ -702,7 +832,7 @@ def assign_reads_to_genes(
     # one pass over all reads collects every gene's subpath candidates
     # (same order and content as split_into_subpaths' per-gene prefilter)
     genes_wanted = set(listOfGenes)
-    rc_cache: dict = {}  # read -> reversed gene list, shared across genes
+    rc_cache: dict = {}  # gene-seq tuple -> reversed gene list, shared across genes
     candidates_by_gene: dict = {g: [] for g in genes_wanted}
     for read_id, genes in graph.get_reads().items():
         seen_here = set()
@@ -720,15 +850,25 @@ def assign_reads_to_genes(
         node_index = construct_node_index(
             {r: graph.get_readNodes()[r] for r in reads_with_gene}
         )
-        gene_call_subset = {r: graph.get_reads()[r] for r in reads_with_gene}
-        rc_reads = {}
-        for r in gene_call_subset:
-            rv = rc_cache.get(r)
+        # dedup the gene-call subset ahead of the index build: one
+        # representative (and its reverse) per distinct call sequence, with
+        # its read count as the support weight — sublist support counting
+        # then scales with distinct sequences, not reads
+        reads_map = graph.get_reads()
+        call_groups: dict = {}
+        for r in reads_with_gene:
+            call_groups.setdefault(tuple(reads_map[r]), []).append(r)
+        gene_call_subset: dict = {}
+        gene_multiplicity: dict = {}
+        for key, mem in call_groups.items():
+            rep = mem[0]
+            rv = rc_cache.get(key)
             if rv is None:
-                rv = graph.reverse_list_of_genes(gene_call_subset[r])
-                rc_cache[r] = rv
-            rc_reads[r + "_reverse"] = rv
-        gene_call_subset = {**gene_call_subset, **rc_reads}
+                rv = graph.reverse_list_of_genes(list(key))
+                rc_cache[key] = rv
+            gene_call_subset[rep] = list(key)
+            gene_call_subset[rep + "_reverse"] = rv
+            gene_multiplicity[rep] = len(mem)
         pathsOfInterest, pathCoverages = get_paths_for_gene(
             graph,
             node_index,
@@ -736,6 +876,7 @@ def assign_reads_to_genes(
             nodeHashesOfInterest,
             mean_node_coverage / 20,
             geneOfInterest,
+            gene_multiplicity=gene_multiplicity,
         )
         finalAllelesOfInterest, path_reads = split_into_subpaths(
             graph, geneOfInterest, pathsOfInterest, pathCoverages, path_reads,
