@@ -990,6 +990,14 @@ class GeneMerGraph:
                 reads.update(self._nodes[h].reads)
         return reads
 
+    def get_nodes_containing_read(self, read_id: str) -> list:
+        """Unfiltered nodes still on a read (construct_graph.py:180-186)."""
+        return [
+            self._nodes[h]
+            for h in self._readNodes.get(read_id, [])
+            if h is not None and h in self._nodes
+        ]
+
     def collect_reads_in_path(self, path) -> set:
         reads = set()
         for h in path:

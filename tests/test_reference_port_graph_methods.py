@@ -8,6 +8,8 @@ node hashes. Assertion DATA (inputs and expected values) is the
 behavioral spec; the code under test is this repo's own implementation.
 """
 
+import pytest
+
 from amira_tpu.correct import (
     find_read_boundaries,
     insert_elements,
@@ -731,3 +733,90 @@ def test_cluster_paths_three():
         }
     )
     assert got == {(1, 2, 3): {(1, 4, 3), (1, 5, 3), (1, 2, 3)}}
+
+
+# ------------------------------------------- edge-record construction
+# reference test_gene_mer_graph.py:476-1476 builds edges incrementally via
+# create_edges/add_edge; this repo's device build emits the same records in
+# one pass, so the invariants are asserted on built graphs instead.
+
+
+@pytest.mark.parametrize(
+    "genes",
+    [
+        ["+gene1", "+gene2", "+gene3", "+gene4"],  # positive to positive
+        ["-gene1", "-gene2", "-gene3", "-gene4"],  # negative to negative
+        ["+gene1", "-gene2", "+gene3", "-gene4"],  # positive to negative
+        ["-gene1", "+gene2", "-gene3", "+gene4"],  # negative to positive
+    ],
+)
+def test_create_edges_companion_invariants(genes):
+    g = GeneMerGraph({"read1": genes}, 3)
+    edges = list(g.get_edges().values())
+    assert len(edges) == 2  # one adjacency -> fwd + companion reverse
+    by_key = {e.key: e for e in edges}
+    for e in edges:
+        # the companion reverse edge: endpoints swapped, both directions
+        # negated, same coverage, DIFFERENT key (reference :476-848)
+        companions = [
+            o
+            for o in edges
+            if o.src == e.tgt
+            and o.tgt == e.src
+            and o.src_dir == -e.tgt_dir
+            and o.tgt_dir == -e.src_dir
+        ]
+        assert len(companions) == 1
+        assert companions[0].key != e.key
+        assert companions[0].coverage == e.coverage
+    # both keys registered on their source nodes' edge lists
+    for e in edges:
+        node = g.get_node_by_hash(e.src)
+        assert e.key in (node.fwd_edges if e.src_dir == 1 else node.bwd_edges)
+    assert len(by_key) == 2
+
+
+def test_add_duplicate_edges_increment_coverage():
+    # reference :1013-1056 — adding the same adjacency twice doubles edge
+    # coverage without creating new records
+    g1 = GeneMerGraph({"r1": ["+g1", "-g2", "+g3", "-g4"]}, 3)
+    g2 = GeneMerGraph(
+        {"r1": ["+g1", "-g2", "+g3", "-g4"], "r2": ["+g1", "-g2", "+g3", "-g4"]},
+        3,
+    )
+    assert len(g2.get_edges()) == len(g1.get_edges()) == 2
+    assert all(e.coverage == 1 for e in g1.get_edges().values())
+    assert all(e.coverage == 2 for e in g2.get_edges().values())
+
+
+def test_remove_existing_edge():
+    # reference :1795-1836 — removing an edge detaches it from both the
+    # edge table and its source node's hash list
+    g = GeneMerGraph({"read1": ["+g1", "-g2", "+g3", "-g4", "+g5"]}, 3)
+    nodes = _read_nodes(g)
+    key = g.get_edge_hashes_between_nodes(nodes[0], nodes[1])[0]
+    g.remove_edge(key)
+    assert key not in g.get_edges()
+    for n in g.all_nodes():
+        assert key not in n.fwd_edges and key not in n.bwd_edges
+
+
+def test_remove_node_from_reads_one_copy():
+    # reference :2171-2188 — the removed node's slot becomes None
+    g = GeneMerGraph({"read1": ["+gene1", "-gene2", "+gene3", "-gene4", "+gene5"]}, 3)
+    rn = list(g.get_readNodes()["read1"])
+    node = g.get_node_by_hash(rn[1])
+    g.remove_node_from_reads(node)
+    assert g.get_readNodes()["read1"] == [rn[0], None, rn[2]]
+
+
+def test_get_nodes_containing_read_filtered_graph():
+    # reference :2149-2171 — after filtering, only surviving nodes of the
+    # read are returned
+    genes1 = [
+        "+gene1", "-gene2", "+gene3", "-gene4", "+gene5", "+gene9",
+        "-gene6", "+gene7", "+gene3", "-gene4", "+gene5",
+    ]
+    g = GeneMerGraph({"read1": genes1}, 3)
+    g.filter_graph(2, 2)
+    assert len(g.get_nodes_containing_read("read1")) == 2
