@@ -820,3 +820,45 @@ def test_get_nodes_containing_read_filtered_graph():
     g = GeneMerGraph({"read1": genes1}, 3)
     g.filter_graph(2, 2)
     assert len(g.get_nodes_containing_read("read1")) == 2
+
+
+# --------------------------------------------------- get_nodes_containing
+# reference test_gene_mer_graph.py:330-476
+
+_GNC_GENES = [
+    "+gene1", "-gene2", "+gene3", "-gene4", "+gene5", "-gene6",
+    "-gene3", "+gene2", "-gene1",
+]
+
+
+def test_get_nodes_containing_subset():
+    g = _linear(_GNC_GENES)
+    for gene in ("gene2", "gene6"):
+        nodes = g.get_nodes_containing(gene)
+        assert len(nodes) == 3
+        for n in nodes:
+            assert any(x[1:] == gene for x in g.get_gene_mer_genes(n))
+
+
+def test_get_nodes_containing_all():
+    g = _linear(_GNC_GENES)
+    selected = [x[1:] for x in _GNC_GENES]
+    expected_counts = [1, 3, 5, 3, 3, 3, 5, 3, 1]
+    for gene, expected in zip(selected, expected_counts):
+        nodes = g.get_nodes_containing(gene)
+        assert len(nodes) == expected
+        for n in nodes:
+            assert any(x[1:] == gene for x in g.get_gene_mer_genes(n))
+
+
+def test_get_nodes_containing_gene_not_in_graph():
+    g = _linear(_GNC_GENES)
+    assert g.get_nodes_containing("gene10") == []
+
+
+def test_get_nodes_containing_rejects_stranded_names():
+    g = _linear(_GNC_GENES)
+    with pytest.raises(AssertionError):
+        g.get_nodes_containing("+gene6")
+    with pytest.raises(AssertionError):
+        g.get_nodes_containing("-gene2")
