@@ -991,10 +991,13 @@ class GeneMerGraph:
         return reads
 
     def get_nodes_containing_read(self, read_id: str) -> list:
-        """Unfiltered nodes still on a read (construct_graph.py:180-186)."""
+        """Unfiltered nodes still on a read (construct_graph.py:180-186).
+
+        Raises KeyError for a read the graph has never seen, matching the
+        reference's direct-index semantics."""
         return [
             self._nodes[h]
-            for h in self._readNodes.get(read_id, [])
+            for h in self._readNodes[read_id]
             if h is not None and h in self._nodes
         ]
 

@@ -6,8 +6,11 @@ alignment is a batched JAX kernel: a scan over query rows carrying
 M/I/D/I2/D2 band-vectors (two-piece affine gaps, minimap2's -O 4,24 -E 2,1),
 with each horizontal (deletion) recurrence rewritten as a cumulative max so
 every lane of the band updates in parallel on the VPU. Traceback directions
-are packed into one byte per cell and walked on the host to produce =/X/I/D
-CIGARs (minimap2 --eqx semantics).
+are packed into one byte per cell and walked ON DEVICE by a fused scan
+(_batched_sw_cigar) that emits 2-bit-packed =/X/I/D op sequences (minimap2
+--eqx semantics) — the band matrix never transfers to host, which matters
+through a ~10 MB/s TPU tunnel (the matrix is W x Lq per job; the packed ops
+are ~Lq/4 bytes).
 
 Band placement is seed-chain-extend: shared-15-mer hits are clustered by
 diagonal into chains, the top chains each get a banded extension, z-drop
@@ -204,6 +207,158 @@ _batched_sw = jax.jit(
     jax.vmap(_banded_sw_kernel, in_axes=(0, 0, 0, 0, None)),
     static_argnums=(4,),
 )
+
+
+# Device traceback: op codes (2 bits each, packed 4-per-byte for transfer)
+_OP_EQ, _OP_X, _OP_I, _OP_D = 0, 1, 2, 3
+_OPS_STR = "=XID"
+
+
+def _tb_steps(Lq: int, W: int) -> int:
+    """Worst-case traceback path length: every query row consumed (M/I) plus
+    every band lane crossed by deletions (initial w + one per insertion),
+    rounded up to a multiple of 4 for 2-bit packing."""
+    s = 2 * Lq + W + 2
+    return (s + 3) & ~3
+
+
+def _traceback_device_single(tb, q, r_padded, best, bi, bw, bs, dlo, W: int):
+    """Single-job traceback as a fixed-length scan over the packed direction
+    bytes — the device twin of `_traceback` (bit-identical op sequences).
+
+    Emits ops back-to-front (step 0 = last cigar op). Returns
+    (packed_ops, n_steps, q_start, r_start): packed_ops is uint8 with four
+    2-bit ops per byte; ops beyond n_steps are padding.
+    """
+    Lq = q.shape[0]
+    S = _tb_steps(Lq, W)
+    pred_state = jnp.array([0, 0, 1, 2, 3, 4, 0, 0], dtype=jnp.int32)
+
+    def step(carry, _):
+        i, w, state, done, n = carry
+        live = jnp.logical_and(jnp.logical_not(done), i >= 0)
+        ic = jnp.clip(i, 0, Lq - 1)
+        wc = jnp.clip(w, 0, W - 1)
+        byte = tb[ic, wc].astype(jnp.int32)
+        j = i + dlo + w
+        rchar = r_padded[jnp.clip(j + W + Lq, 0, r_padded.shape[0] - 1)]
+        m_op = jnp.where(q[ic] == rchar, _OP_EQ, _OP_X).astype(jnp.int32)
+        pred = byte & 7
+        is_m = state == 0
+        is_i = state == 1
+        is_d = state == 2
+        is_i2 = state == 3
+        op = jnp.where(
+            is_m, m_op, jnp.where(jnp.logical_or(is_i, is_i2), _OP_I, _OP_D)
+        )
+        ext = jnp.where(
+            is_i,
+            (byte >> 3) & 1,
+            jnp.where(
+                is_d,
+                (byte >> 4) & 1,
+                jnp.where(is_i2, (byte >> 5) & 1, (byte >> 6) & 1),
+            ),
+        )
+        gap_state = jnp.where(ext == 1, state, 0)
+        nstate = jnp.where(is_m, pred_state[pred], gap_state)
+        di = jnp.where(jnp.logical_or(is_m, jnp.logical_or(is_i, is_i2)), 1, 0)
+        dw = jnp.where(
+            jnp.logical_or(is_i, is_i2),
+            1,
+            jnp.where(jnp.logical_or(is_d, state == 4), -1, 0),
+        )
+        ndone = jnp.logical_or(done, jnp.logical_and(is_m, pred == 0))
+        i = jnp.where(live, i - di, i)
+        w = jnp.where(live, w + dw, w)
+        state = jnp.where(live, nstate, state)
+        done = jnp.where(live, ndone, done)
+        n = n + jnp.where(live, 1, 0).astype(jnp.int32)
+        op_out = jnp.where(live, op, 0).astype(jnp.uint8)
+        return (i, w, state, done, n), op_out
+
+    init = (
+        bi.astype(jnp.int32),
+        bw.astype(jnp.int32),
+        bs.astype(jnp.int32),
+        jnp.logical_or(bi < 0, best <= 0),
+        jnp.int32(0),
+    )
+    (fi, fw, _fs, _fd, n_steps), ops = jax.lax.scan(
+        step, init, None, length=S
+    )
+    q_start = fi + 1
+    r_start = q_start + dlo + fw
+    shifts = jnp.array([0, 2, 4, 6], dtype=jnp.uint8)
+    packed = jnp.sum(
+        ops.reshape(S // 4, 4).astype(jnp.int32) << shifts.astype(jnp.int32),
+        axis=1,
+    ).astype(jnp.uint8)
+    return packed, n_steps, q_start, r_start
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _batched_sw_cigar(qs, rs, qlens, dlos, W: int):
+    """Fused DP + traceback: the band matrix never leaves the device; only
+    2-bit-packed op sequences (plus endpoints) transfer to host."""
+    tb, best, bi, bw, bs = jax.vmap(
+        _banded_sw_kernel, in_axes=(0, 0, 0, 0, None)
+    )(qs, rs, qlens, dlos, W)
+    packed, n_steps, q0, r0 = jax.vmap(
+        _traceback_device_single, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+    )(tb, qs, rs, best, bi, bw, bs, dlos, W)
+    return packed, n_steps, q0, r0, best, bi, bw
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _batched_traceback(tb, qs, rs, best, bi, bw, bs, dlos, W: int):
+    """Traceback alone, for engines that already produced the band matrix
+    (the experimental Pallas DP path)."""
+    packed, n_steps, q0, r0 = jax.vmap(
+        _traceback_device_single, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+    )(tb, qs, rs, best, bi, bw, bs, dlos, W)
+    return packed, n_steps, q0, r0
+
+
+_DEVICE_TB: bool | None = None
+
+
+def _use_device_traceback() -> bool:
+    """Device traceback wins when host transfer is the bottleneck (TPU via
+    tunnel: the band matrix is W x Lq per job vs ~Lq/4 packed bytes); on the
+    CPU backend 'transfer' is free and the sequential traceback scan is
+    slower than walking the matrix in Python. Override with
+    AMIRA_TPU_DEVICE_TRACEBACK=0/1."""
+    global _DEVICE_TB
+    import os
+
+    env = os.environ.get("AMIRA_TPU_DEVICE_TRACEBACK")
+    if env is not None:
+        return env not in ("0", "false", "")
+    if _DEVICE_TB is None:
+        _DEVICE_TB = jax.devices()[0].platform != "cpu"
+    return _DEVICE_TB
+
+
+def _unpack_cigar(packed_row: np.ndarray, n: int):
+    """Host: 2-bit unpack + run-length encode one job's op sequence into
+    [(op, len), ...] cigar tuples (ops arrive back-to-front)."""
+    if n <= 0:
+        return []
+    nbytes = (n + 3) // 4
+    b = packed_row[:nbytes].astype(np.uint8)
+    ops = np.empty(nbytes * 4, dtype=np.uint8)
+    ops[0::4] = b & 3
+    ops[1::4] = (b >> 2) & 3
+    ops[2::4] = (b >> 4) & 3
+    ops[3::4] = (b >> 6) & 3
+    ops = ops[:n][::-1]
+    change = np.flatnonzero(ops[1:] != ops[:-1])
+    starts = np.concatenate([[0], change + 1])
+    ends = np.concatenate([change + 1, [n]])
+    return [
+        (_OPS_STR[ops[s]], int(e - s)) for s, e in zip(starts, ends)
+    ]
 
 
 def _select_sw_engine():
@@ -668,9 +823,12 @@ class Aligner:
         for job in jobs:
             lq = _bucket(len(job[2]))
             by_bucket.setdefault(lq, []).append(job)
-        # cap traceback memory: chunk launches at ~64 MB of tb per batch
+        # cap traceback memory: with device traceback the band matrix stays
+        # in HBM (~1 GB per launch); the host-traceback path materializes it
+        # host-side, so keep those chunks smaller
+        budget = (1 << 30) if _use_device_traceback() else (256 << 20)
         for lq, bucket_jobs in by_bucket.items():
-            chunk = max(1, (64 << 20) // (lq * W))
+            chunk = max(1, budget // (lq * W))
             for c0 in range(0, len(bucket_jobs), chunk):
                 self._run_batch(bucket_jobs[c0 : c0 + chunk], lq, W, out)
         return out
@@ -702,13 +860,50 @@ class Aligner:
             rs.append(np.full(rlen, 4, dtype=np.uint8))
             qlens.append(0)
             dlos.append(0)
-        tb, best, bi, bw, bs = _select_sw_engine()(
-            np.stack(qs),
-            np.stack(rs),
-            np.asarray(qlens, np.int32),
-            np.asarray(dlos, np.int32),
-            W,
-        )
+        qs_a = np.stack(qs)
+        rs_a = np.stack(rs)
+        qlens_a = np.asarray(qlens, np.int32)
+        dlos_a = np.asarray(dlos, np.int32)
+        engine = _select_sw_engine()
+        if _use_device_traceback():
+            if engine is _batched_sw:
+                packed, n_steps, q0s, r0s, best, bi, bw = _batched_sw_cigar(
+                    qs_a, rs_a, qlens_a, dlos_a, W
+                )
+            else:
+                # experimental DP engines return the band matrix; run the
+                # device traceback as a second dispatch (the matrix still
+                # never transfers)
+                tb, best, bi, bw, bs = engine(qs_a, rs_a, qlens_a, dlos_a, W)
+                packed, n_steps, q0s, r0s = _batched_traceback(
+                    tb, qs_a, rs_a, best, bi, bw, bs, dlos_a, W
+                )
+            packed = np.asarray(packed)
+            n_steps = np.asarray(n_steps)
+            q0s = np.asarray(q0s)
+            r0s = np.asarray(r0s)
+            best = np.asarray(best)
+            bi = np.asarray(bi)
+            bw = np.asarray(bw)
+            for bidx, (tag, strand, qseq, _diag) in enumerate(batch):
+                if bi[bidx] < 0 or best[bidx] <= 0:
+                    continue
+                cigar = _unpack_cigar(packed[bidx], int(n_steps[bidx]))
+                if not cigar:
+                    continue
+                aln = Alignment(
+                    q_start=int(q0s[bidx]),
+                    q_end=int(bi[bidx]) + 1,
+                    r_start=int(r0s[bidx]),
+                    r_end=int(bi[bidx]) + int(dlos[bidx]) + int(bw[bidx]) + 1,
+                    score=int(best[bidx]),
+                    cigar=cigar,
+                    q_len=len(qseq),
+                    r_len=len(self.ref_codes[tag[1]]),
+                )
+                out.append((tag, strand, qseq, aln))
+            return
+        tb, best, bi, bw, bs = engine(qs_a, rs_a, qlens_a, dlos_a, W)
         tb = np.asarray(tb)
         best = np.asarray(best)
         bi = np.asarray(bi)

@@ -19,6 +19,11 @@ from amira_tpu.ops.align import Aligner, reverse_complement
 
 _BASES = "ACGT"
 _BASE_IDX = {b: i for i, b in enumerate(_BASES)}
+# char -> vote column (0..3 = ACGT upper/lower, -1 = not a base)
+_CHAR_LUT = np.full(256, -1, dtype=np.int16)
+for _i, _b in enumerate(_BASES):
+    _CHAR_LUT[ord(_b)] = _i
+    _CHAR_LUT[ord(_b.lower())] = _i
 
 
 def consensus_from_alignments(draft: str, alignments) -> str:
@@ -29,17 +34,26 @@ def consensus_from_alignments(draft: str, alignments) -> str:
     """
     L = len(draft)
     # votes[pos, 0:4] = base votes (match or substitution), [pos, 4] = deletion
-    votes = np.zeros((L, 5), dtype=np.int32)
+    # accumulated as one bincount over flattened (pos, column) keys — within
+    # one alignment draft positions are strictly increasing, so per-op slices
+    # need no dedup
+    pos_chunks: list[np.ndarray] = []
+    col_chunks: list[np.ndarray] = []
     insertions: dict[int, dict[str, int]] = {}
     for strand, aln, qseq in alignments:
+        qcodes = _CHAR_LUT[np.frombuffer(qseq.encode("latin-1"), np.uint8)]
         qi = aln.q_start
         ri = aln.r_start
         for op, n in aln.cigar:
             if op == "=" or op == "X":
-                for t in range(n):
-                    b = _BASE_IDX.get(qseq[qi + t].upper())
-                    if b is not None:
-                        votes[ri + t, b] += 1
+                c = qcodes[qi : qi + n]
+                m = c >= 0
+                if m.all():
+                    pos_chunks.append(np.arange(ri, ri + n))
+                    col_chunks.append(c)
+                elif m.any():
+                    pos_chunks.append(np.arange(ri, ri + n)[m])
+                    col_chunks.append(c[m])
                 qi += n
                 ri += n
             elif op == "I":
@@ -48,8 +62,16 @@ def consensus_from_alignments(draft: str, alignments) -> str:
                 slot[ins] = slot.get(ins, 0) + 1
                 qi += n
             elif op == "D":
-                votes[ri : ri + n, 4] += 1
+                pos_chunks.append(np.arange(ri, ri + n))
+                col_chunks.append(np.full(n, 4, dtype=np.int16))
                 ri += n
+    if pos_chunks:
+        flat = np.concatenate(pos_chunks) * 5 + np.concatenate(col_chunks)
+        votes = np.bincount(
+            flat.astype(np.int64), minlength=L * 5
+        ).reshape(L, 5).astype(np.int32)
+    else:
+        votes = np.zeros((L, 5), dtype=np.int32)
     out = []
     depth = votes.sum(axis=1)
     for pos in range(L):

@@ -101,15 +101,22 @@ def test_get_non_existing_forward_node_from_node():
 
 
 def test_get_self_loop_forward_node_from_node():
-    # homopolymer read: one node with a self-edge; extend must be False and
-    # the walk must report the node itself (reference :2332-2358)
+    # homopolymer read: one node with a self-edge; walking in the read's
+    # observed direction must reach the node itself with the same direction
+    # and refuse to extend (reference :2332-2358 — there the mock edge makes
+    # "forward" the traversal direction; here canonicalization picks it)
     g = _linear(["+gene1", "+gene1", "+gene1", "+gene1"])
-    nodes = _read_nodes(g)
+    nodes, dirs = _read_nodes(g), _read_dirs(g)
     assert all(n is nodes[0] for n in nodes)
-    extend, target, _ = g.get_forward_node_from_node(nodes[0])
-    if target is not None:
-        assert extend is False
-        assert target is nodes[0]
+    step = (
+        g.get_forward_node_from_node
+        if dirs[0] == 1
+        else g.get_backward_node_from_node
+    )
+    extend, target, target_dir = step(nodes[0])
+    assert extend is False
+    assert target is nodes[0]
+    assert target_dir == dirs[0]
 
 
 def test_get_existing_backward_node_from_node():
@@ -808,6 +815,20 @@ def test_remove_node_from_reads_one_copy():
     node = g.get_node_by_hash(rn[1])
     g.remove_node_from_reads(node)
     assert g.get_readNodes()["read1"] == [rn[0], None, rn[2]]
+
+
+def test_remove_node_from_reads_more_than_one_copy():
+    # reference :2188-2213 — EVERY duplicate occurrence of the node on the
+    # read becomes None, not just the first
+    genes = ["+g1", "-g2", "+g3", "-g4", "+g5", "+g1", "-g2", "+g3"]
+    g = GeneMerGraph({"read1": genes}, 3)
+    rn = list(g.get_readNodes()["read1"])
+    dup = rn[0]
+    assert rn.count(dup) == 2  # gene-mer (+g1,-g2,+g3) occurs twice
+    g.remove_node_from_reads(g.get_node_by_hash(dup))
+    expected = [None if h == dup else h for h in rn]
+    assert g.get_readNodes()["read1"] == expected
+    assert g.get_readNodes()["read1"].count(None) == 2
 
 
 def test_get_nodes_containing_read_filtered_graph():
