@@ -119,9 +119,16 @@ def get_options(argv=None) -> argparse.Namespace:
         "--dist-build",
         dest="dist_build",
         action="store_true",
-        default=False,
+        default=None,
         help="Shard the initial/final graph builds over all visible devices "
-        "(collective-merged full tables; identical output).",
+        "(collective-merged full tables; identical output). DEFAULT when "
+        ">=2 devices are visible; --no-dist-build opts out.",
+    )
+    parser.add_argument(
+        "--no-dist-build",
+        dest="dist_build",
+        action="store_false",
+        help="Force single-device graph builds even on multi-device hosts.",
     )
     parser.add_argument("--amr-calls", dest="amr_calls", help=argparse.SUPPRESS, default=None)
     parser.add_argument("--core-genes", dest="core_genes", help=argparse.SUPPRESS, default=None)

@@ -462,24 +462,104 @@ def bounded_count_min(keys, weights, orderkeys, capacity: int):
     return table_keys, counts.astype(jnp.int32), firsts
 
 
-def make_distributed_graph_step(mesh, k: int, node_cap: int, edge_cap: int):
-    """Full-graph distributed build step over the `data` mesh axis.
+def _route_table(keys, counts, firsts, T: int, send_cap: int):
+    """Route bounded-table entries to their hash-partition owner
+    (dest = key % T) for an all_to_all over the "table" axis. Returns the
+    three (T, send_cap) send buffers plus the number of real entries DROPPED
+    by the per-destination capacity — exact-or-error: the host retries with
+    a bigger send_cap when the psum'd drop count is nonzero."""
+    n = keys.shape[0]
+    dest = (keys % jnp.uint64(T)).astype(jnp.int32)
+    dest = jnp.where(keys == 0, T, dest)  # padding -> dropped bucket
+    order = jnp.argsort(dest, stable=True)
+    sd = dest[order]
+    sk = keys[order]
+    sc = counts[order]
+    sf = firsts[order]
+    first_of_dest = jnp.searchsorted(sd, jnp.arange(T + 1, dtype=jnp.int32))
+    idx = jnp.arange(n) - first_of_dest[jnp.clip(sd, 0, T)]
+    ok = (sd < T) & (idx < send_cap)
+    dropped = jnp.sum(((sd < T) & jnp.logical_not(ok)).astype(jnp.int32))
+    row = jnp.where(ok, sd, 0)
+    col = jnp.where(ok, idx, send_cap)
+    send_k = (
+        jnp.zeros((T, send_cap + 1), dtype=jnp.uint64)
+        .at[row, col].set(jnp.where(ok, sk, 0))[:, :send_cap]
+    )
+    send_c = (
+        jnp.zeros((T, send_cap + 1), dtype=jnp.int32)
+        .at[row, col].set(jnp.where(ok, sc, 0))[:, :send_cap]
+    )
+    send_f = (
+        jnp.zeros((T, send_cap + 1), dtype=jnp.uint64)
+        .at[row, col].set(jnp.where(ok, sf, 0))[:, :send_cap]
+    )
+    return send_k, send_c, send_f, dropped
+
+
+def make_distributed_graph_step(
+    mesh, k: int, node_cap: int, edge_cap: int, route_cap: int = 0
+):
+    """Full-graph distributed build step, generalized over mesh families.
 
     Each device windows its read shard, forms node occurrences
     (key, orderkey) and edge records (canonical edge key, orderkey for the
     interleaved fwd/rc-companion stream), reduces them to bounded local
-    tables, then merges across the mesh with all_gather + re-reduce. The
-    merged tables carry everything the reference graph needs beyond raw
-    counts: per-node and per-edge COVERAGE plus the GLOBAL first-occurrence
-    order key, from which the host reconstructs canonical tokens, edge
-    endpoints/orientations and the reference's read-major insertion order
-    (construct_graph.py:31-102 semantics). The per-shard window streams
-    returned alongside ARE the read->node incidence.
+    tables, then merges across the mesh. The merged tables carry everything
+    the reference graph needs beyond raw counts: per-node and per-edge
+    COVERAGE plus the GLOBAL first-occurrence order key, from which the host
+    reconstructs canonical tokens, edge endpoints/orientations and the
+    reference's read-major insertion order (construct_graph.py:31-102
+    semantics). The per-shard window streams returned alongside ARE the
+    read->node incidence.
+
+    Mesh families (reads always shard data-parallel over EVERY axis):
+    - ("data",): local tables all_gathered over ICI + re-reduced, replicated.
+    - ("data", "table"): local tables hash-routed to their table-partition
+      owner (all_to_all over "table"), then the data-axis partials merge via
+      all_gather + re-reduce — each table column holds the global table for
+      its hash partition.
+    - ("host", "data", "table"): as 2D inside each host (ICI), then the
+      per-host deduplicated partition tables merge across the "host" (DCN)
+      axis — hierarchical: only deduplicated tables cross the slow axis,
+      the collective form of the reference's shard merge
+      (amira/graph_utils.py:17-102).
+
+    A psum'd overflow count of entries dropped by routing capacity is
+    returned; nonzero means the host must retry with a larger route_cap
+    (exact-or-error, never silent).
 
     orderkey convention: node occ -> global_window_position; edge record ->
     2*global_pair_position + slot (0 fwd, 1 rc companion) — identical to the
     single-host lazy tables (amira_tpu/graph.py)."""
     shard_map = jax.shard_map
+    axes = tuple(mesh.axis_names)
+    has_table = "table" in axes
+    has_host = "host" in axes
+    T = mesh.shape["table"] if has_table else 1
+    all_axes = axes  # reads shard over every axis
+
+    def merge_tables(lk, lc, lf, cap):
+        """Local bounded tables -> globally merged tables (+ dropped count)."""
+        dropped = jnp.int32(0)
+        if has_table:
+            cap_n = route_cap if route_cap else max(cap // T * 2, 256)
+            sk, sc, sf, drop = _route_table(lk, lc, lf, T, cap_n)
+            dropped = dropped + drop
+            rk = jax.lax.all_to_all(sk, "table", 0, 0, tiled=False).reshape(-1)
+            rc = jax.lax.all_to_all(sc, "table", 0, 0, tiled=False).reshape(-1)
+            rf = jax.lax.all_to_all(sf, "table", 0, 0, tiled=False).reshape(-1)
+            lk, lc, lf = bounded_count_min(rk, rc, rf, cap)
+        g_k = jax.lax.all_gather(lk, "data").reshape(-1)
+        g_c = jax.lax.all_gather(lc, "data").reshape(-1)
+        g_f = jax.lax.all_gather(lf, "data").reshape(-1)
+        mk, mc, mf = bounded_count_min(g_k, g_c, g_f, cap)
+        if has_host:
+            h_k = jax.lax.all_gather(mk, "host").reshape(-1)
+            h_c = jax.lax.all_gather(mc, "host").reshape(-1)
+            h_f = jax.lax.all_gather(mf, "host").reshape(-1)
+            mk, mc, mf = bounded_count_min(h_k, h_c, h_f, cap)
+        return mk, mc, mf, dropped
 
     def shard_step(tokens, lengths, win_base, pair_base):
         win = genemer_windows(tokens, lengths, k)
@@ -495,10 +575,9 @@ def make_distributed_graph_step(mesh, k: int, node_cap: int, edge_cap: int):
             occ_ok.reshape(-1),
             node_cap,
         )
-        g_nk = jax.lax.all_gather(node_keys, "data").reshape(-1)
-        g_nc = jax.lax.all_gather(node_covs, "data").reshape(-1)
-        g_nf = jax.lax.all_gather(node_first, "data").reshape(-1)
-        m_nk, m_nc, m_nf = bounded_count_min(g_nk, g_nc, g_nf, node_cap)
+        m_nk, m_nc, m_nf, drop_n = merge_tables(
+            node_keys, node_covs, node_first, node_cap
+        )
 
         if W >= 2:
             src_h, tgt_h = nh_raw[:, :-1], nh_raw[:, 1:]
@@ -519,42 +598,72 @@ def make_distributed_graph_step(mesh, k: int, node_cap: int, edge_cap: int):
         edge_keys, edge_covs, edge_first = bounded_count_min(
             ek, jnp.ones(ek.shape[0], jnp.int32), eok, edge_cap
         )
-        g_ek = jax.lax.all_gather(edge_keys, "data").reshape(-1)
-        g_ec = jax.lax.all_gather(edge_covs, "data").reshape(-1)
-        g_ef = jax.lax.all_gather(edge_first, "data").reshape(-1)
-        m_ek, m_ec, m_ef = bounded_count_min(g_ek, g_ec, g_ef, edge_cap)
-
-        return (
-            m_nk, m_nc, m_nf, m_ek, m_ec, m_ef,
-            jnp.where(valid, nh_raw, 0),
-            jnp.where(valid, nd, 0).astype(jnp.int8),
+        m_ek, m_ec, m_ef, drop_e = merge_tables(
+            edge_keys, edge_covs, edge_first, edge_cap
         )
 
+        overflow = drop_n + drop_e
+        if has_table:
+            overflow = jax.lax.psum(overflow, "table")
+        overflow = jax.lax.psum(overflow, "data")
+        if has_host:
+            overflow = jax.lax.psum(overflow, "host")
+
+        table_shape = (
+            (lambda a: a[None, :]) if has_table else (lambda a: a)
+        )
+        return (
+            table_shape(m_nk), table_shape(m_nc), table_shape(m_nf),
+            table_shape(m_ek), table_shape(m_ec), table_shape(m_ef),
+            jnp.where(valid, nh_raw, 0),
+            jnp.where(valid, nd, 0).astype(jnp.int8),
+            overflow,
+        )
+
+    table_spec = P("table") if has_table else P()
     step = shard_map(
         shard_step,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P("data")),
-        out_specs=(P(), P(), P(), P(), P(), P(), P("data"), P("data")),
+        in_specs=(P(all_axes), P(all_axes), P(all_axes), P(all_axes)),
+        out_specs=(
+            table_spec, table_spec, table_spec,
+            table_spec, table_spec, table_spec,
+            P(all_axes), P(all_axes), P(),
+        ),
         check_vma=False,
     )
     return jax.jit(step)
 
 
+def _pow2(n: int, minimum: int = 1 << 10) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def distributed_graph_build(
     read_dict, k: int, mesh, vocab=None, gene_positions=None,
-    node_cap: int = 1 << 14, edge_cap: int = 1 << 15,
+    node_cap: int | None = None, edge_cap: int | None = None,
 ):
-    """Build a GeneMerGraph by sharding reads over the mesh's `data` axis and
+    """Build a GeneMerGraph by sharding reads data-parallel over EVERY mesh
+    axis — ("data",), ("data", "table") or ("host", "data", "table") — and
     collective-merging the full node/edge/incidence tables. The result is
     IDENTICAL (node hashes, coverages, read lists, edge endpoints, insertion
     order) to a single-device GeneMerGraph of the same read dict — verified
-    by tests/test_parallel.py and __graft_entry__.dryrun_multichip."""
+    by tests/test_parallel.py and __graft_entry__.dryrun_multichip.
+
+    Table capacities default to pow2(total_occurrences/2) sized FROM the
+    occurrence stream and retry with doubling on overflow, up to
+    pow2(total_occurrences), which cannot overflow (#unique <= #occurrences)
+    — so builds of any size succeed (the reference's 500k-read ceiling,
+    __main__.py:136-142, included)."""
     from amira_tpu.graph import GeneMerGraph
     from amira_tpu.vocab import GeneVocab, pack_reads
 
     if vocab is None:
         vocab = GeneVocab()
-    n_dev = mesh.shape["data"] if "data" in mesh.shape else mesh.devices.size
+    n_dev = mesh.devices.size
     graph = GeneMerGraph.__new__(GeneMerGraph)
     graph._reads = dict(read_dict)
     graph._kmerSize = int(k)
@@ -604,17 +713,73 @@ def distributed_graph_build(
     pair_base = np.concatenate(
         [poffs[:-1], np.full(pad, poffs[-1], np.int64)]
     ).astype(np.uint64)
-    step = make_distributed_graph_step(mesh, k, node_cap, edge_cap)
-    sharding = jax.sharding.NamedSharding(mesh, P("data"))
-    out = step(
+
+    axes = tuple(mesh.axis_names)
+    has_table = "table" in axes
+    T = mesh.shape["table"] if has_table else 1
+    total_occ = int(offs[-1])
+    total_edge_records = 2 * int(poffs[-1])
+    # caps sized from the occurrence stream; #unique <= #occurrences bounds
+    # the retry ladder, so overflow always terminates in success
+    ncap = node_cap or _pow2(total_occ // 2 + 2)
+    ecap = edge_cap or _pow2(total_edge_records // 2 + 2)
+    ncap_max = max(ncap, _pow2(total_occ + 2))
+    ecap_max = max(ecap, _pow2(total_edge_records + 2))
+    route_cap = 0  # 0 = auto (cap // T * 2); doubled on routing overflow
+    sharding = jax.sharding.NamedSharding(mesh, P(axes))
+    dev_in = (
         jax.device_put(tokens, sharding),
         jax.device_put(lengths, sharding),
         jax.device_put(win_base, sharding),
         jax.device_put(pair_base, sharding),
     )
-    (m_nk, m_nc, m_nf, m_ek, m_ec, m_ef, wh_full, wd_full) = (
-        np.asarray(x) for x in out
-    )
+
+    def _merge_partitions(tab_k, tab_c, tab_f, cap):
+        """Host: concatenate hash partitions (disjoint by key % T) into the
+        single key-sorted table _finish_from_distributed_tables expects; the
+        trailing zero row keeps its overflow check meaningful."""
+        keys = tab_k.reshape(-1)
+        mask = keys != 0
+        keys = keys[mask]
+        cnts = tab_c.reshape(-1)[mask]
+        fsts = tab_f.reshape(-1)[mask]
+        order = np.argsort(keys)
+        one_zero = np.zeros(1, dtype=tab_k.dtype)
+        return (
+            np.concatenate([keys[order], one_zero]),
+            np.concatenate([cnts[order], np.zeros(1, tab_c.dtype)]),
+            np.concatenate([fsts[order], np.zeros(1, tab_f.dtype)]),
+        )
+
+    while True:
+        step = make_distributed_graph_step(mesh, k, ncap, ecap, route_cap)
+        out = step(*dev_in)
+        (m_nk, m_nc, m_nf, m_ek, m_ec, m_ef, wh_full, wd_full, overflow) = (
+            np.asarray(x) for x in out
+        )
+        if int(overflow.reshape(-1)[0]) > 0:
+            # routing capacity dropped entries: exact-or-error, retry bigger
+            base = route_cap or max(ncap // T * 2, 256)
+            route_cap = base * 2
+            continue
+
+        def _any_full(tab):
+            rows = tab.reshape(-1, tab.shape[-1])
+            return bool(((rows != 0).sum(axis=1) >= rows.shape[1]).any())
+
+        node_full = _any_full(m_nk)
+        edge_full = _any_full(m_ek)
+        if node_full and ncap < ncap_max:
+            ncap = min(ncap * 2, ncap_max)
+            continue
+        if edge_full and ecap < ecap_max:
+            ecap = min(ecap * 2, ecap_max)
+            continue
+        break
+
+    if has_table:
+        m_nk, m_nc, m_nf = _merge_partitions(m_nk, m_nc, m_nf, ncap)
+        m_ek, m_ec, m_ef = _merge_partitions(m_ek, m_ec, m_ef, ecap)
 
     graph._finish_from_distributed_tables(
         kept_ids, tok_list, lens, offs,

@@ -295,7 +295,12 @@ def run_pipeline(args) -> None:
             reads_d, kk, mesh, vocab=vocab, gene_positions=pos_d
         )
 
-    use_dist = bool(getattr(args, "dist_build", False))
+    # Distributed builds are the DEFAULT on multi-device hosts (the result
+    # is byte-identical to single-device; tests/test_pipeline.py pins it);
+    # --no-dist-build opts out, single-device hosts fall back automatically.
+    use_dist = getattr(args, "dist_build", None)
+    if use_dist is None:
+        use_dist = True
     if use_dist:
         import jax
 

@@ -1,37 +1,49 @@
 """Benchmark: the graph cleaning cycle — builds + coverage filtering + read
-correction + tip trimming — on the local device, against a reference-style
-pure-Python baseline.
+correction + tip trimming — on the local device, against THE REAL UPSTREAM
+AMIRA implementation imported from /root/reference (pure Python, runnable
+in-process; tests/test_cross_reference_parity.py proves byte-parity with it).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+Prints one JSON line per metric (headline LAST):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The workload mirrors the pipeline's hot phase (SURVEY §3.3, the
-iterative_bubble_popping loop): one cold graph build of the read set plus
-CLEAN_ITERS full cleaning iterations, each = {perturb ~2% of reads (the
-typical correction churn) → rebuild → coverage-filter + correct reads →
-rebuild → tip-trim + correct reads}, exactly the tensor cleaning path the
-pipeline runs (amira_tpu/clean.py + graph_utils.iterative_bubble_popping).
-Our path = device windowing/hashing kernels + incremental build cache +
-table-resident cleaning. The baseline is a faithful re-creation of the
-reference's per-window construction cost model (sha256-of-pickle per gene
-per window, per-object dict/list updates — construct_graph.py:31-102), which
-pays the full build cost on every rebuild; it is timed on a subsample and
-scaled per-read, and is *conservative*: the reference's own per-object
-filter/correct cost on top of its rebuilds is not charged.
+Metrics:
+1. allele_polish_alleles_per_sec — batched lockstep polishing of 40 allele
+   clusters vs the serial per-allele path on the same kernels.
+2. e2e_pipeline_reads_per_sec — full ingest→amira_results.tsv pipeline on a
+   synthetic multi-copy-AMR isolate (E2E_READS reads). vs_baseline divides
+   by the upstream PER-BUILD-EQUIVALENT cleaning throughput (metric 3's
+   denominator) — deeply conservative, since the upstream pipeline performs
+   ~70 such builds plus clustering/polishing/copy-number work that is not
+   charged at all.
+3. genemer_cleaning_cycle_reads_per_sec (headline) — one cold graph build +
+   CLEAN_ITERS full cleaning iterations, each = {perturb ~2% of reads (the
+   typical correction churn) → rebuild → coverage-filter + correct reads →
+   rebuild → tip-trim + correct reads}, exactly the tensor cleaning path the
+   pipeline runs (amira_tpu/clean.py + graph_utils.iterative_bubble_popping).
+   The baseline runs the SAME cycle (same perturbation sequence, same
+   filter/correct/tip work) through the upstream GeneMerGraph
+   (construct_graph.py:31-102,496-540,1123-1480,679-720) on a
+   coverage-structure-preserving subsample, scaled per read per build.
 
-The workload data is the reference repo's real 21k-read fixture
+The cleaning workload data is the reference repo's real 21k-read fixture
 (complex_gene_calls_one.json), tiled to ~85k reads.
 """
 
-import hashlib
+import copy
+import importlib
 import json
-import pickle
+import os
 import random
 import sys
 import time
+import types
+
+REF_ROOT = "/root/reference"
 
 TILE = 4
-BASELINE_SAMPLE = 1500
+UPSTREAM_SAMPLE_BASE = 250  # base reads; tiled by TILE -> 1000 reads
+UPSTREAM_ITERS = 2
+E2E_READS = 10000
 # Full cleaning iterations per cycle after the cold build. The reference's
 # driver loop runs up to 30 iterations per k (graph_utils.py:127-181 +
 # __main__.py:399); 10 approximates the pipeline's steady-state cold:warm
@@ -79,54 +91,75 @@ def _perturb(reads, positions, rng):
     return reads, positions
 
 
-def _baseline_reads_per_sec(reads):
-    """Reference-style graph build: sha256 hashing + per-object updates.
+def _load_upstream_graph_class():
+    """Import the UPSTREAM GeneMerGraph from the read-only reference
+    checkout, stubbing only modules absent from this environment (same
+    recipe as tests/test_cross_reference_parity.py)."""
+    for name in ("sourmash", "suffix_tree", "joblib", "tqdm", "pysam"):
+        try:
+            importlib.import_module(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            if name == "joblib":
+                mod.Parallel = lambda *a, **k: None
+                mod.delayed = lambda f: f
+            if name == "tqdm":
+                mod.tqdm = lambda x, **k: x
+            if name == "suffix_tree":
+                mod.Tree = object
+            sys.modules[name] = mod
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from amira.construct_graph import GeneMerGraph as RefGraph
 
-    Returns per-(re)build throughput — the reference rebuilds from scratch
-    every cleaning iteration (2 rebuilds per iteration plus the per-object
-    filter/correct work, which we do NOT charge here)."""
+    return RefGraph
 
-    def h(value):
-        return int(hashlib.sha256(pickle.dumps(value)).hexdigest(), 16)
 
-    sample = dict(list(reads.items())[:BASELINE_SAMPLE])
-    k = K
+def _baseline_reads_per_sec(reads, positions):
+    """THE ACTUAL upstream Amira running the same cleaning cycle: cold build
+    + UPSTREAM_ITERS full iterations of {perturb, rebuild, filter+correct,
+    rebuild, tip-trim+correct} on a subsample that keeps the tiled coverage
+    structure (whole tile groups, so per-node coverage matches the full
+    workload). Returns per-build-equivalent reads/s — the same accounting
+    as the tensor path's numerator."""
+    RefGraph = _load_upstream_graph_class()
+    base_ids = []
+    seen = set()
+    for rid in reads:
+        base = rid.rsplit("_t", 1)[0]
+        if base not in seen:
+            seen.add(base)
+            base_ids.append(base)
+        if len(base_ids) >= UPSTREAM_SAMPLE_BASE:
+            break
+    sample_ids = [
+        f"{b}_t{t}" for b in base_ids for t in range(TILE)
+    ]
+    entry = {"sequence": "A" * 2_000_000, "quality": "I" * 10}
     best = None
-    for _ in range(3):  # best-of-3: the shared 2-core host is noisy
-        dt = _baseline_once(sample, k, h)
-        best = dt if best is None else min(best, dt)
-    return len(sample) / best
-
-
-def _baseline_once(sample, k, h):
-    start = time.time()
-    nodes = {}
-    edges = {}
-    read_nodes = {}
-    for rid, genes in sample.items():
-        parsed = [(g[1:], 1 if g[0] == "+" else -1) for g in genes]
-        gene_hashes = [h(name) * strand for name, strand in parsed]
-        mers = []
-        for i in range(len(genes) - k + 1):
-            fwd = gene_hashes[i : i + k]
-            rc = [-x for x in reversed(fwd)]
-            canonical = min(fwd, rc)
-            node_hash = h(tuple(canonical))
-            mers.append((node_hash, 1 if canonical == fwd else -1))
-            entry = nodes.setdefault(node_hash, {"cov": 0, "reads": []})
-            entry["cov"] += 1
-            if rid not in entry["reads"]:
-                entry["reads"].append(rid)
-        read_nodes[rid] = [m[0] for m in mers]
-        for i in range(len(mers) - 1):
-            (s, sd), (t, td) = mers[i], mers[i + 1]
-            for key_tuple in (
-                min((s * sd, t * td), (-s * sd, -t * td)),
-                min((t * -td, s * -sd), (t * td, s * sd)),
-            ):
-                ekey = h(key_tuple)
-                edges[ekey] = edges.get(ekey, 0) + 1
-    return time.time() - start
+    for _ in range(2):  # best-of-2: the shared 2-core host is noisy
+        rds = {r: list(reads[r]) for r in sample_ids}
+        pos = {r: [tuple(p) for p in positions[r]] for r in sample_ids}
+        fastq = {r: entry for r in rds}
+        rng = random.Random(7)
+        t0 = time.time()
+        RefGraph(dict(rds), K, copy.deepcopy(pos))
+        n_builds = 1
+        for _ in range(UPSTREAM_ITERS):
+            rds, pos = _perturb(rds, pos, rng)
+            g = RefGraph(dict(rds), K, pos)
+            g.filter_graph(NODE_MIN_COV, 1)
+            out = g.correct_reads(fastq)
+            rds, pos = out if isinstance(out, tuple) else (out, pos)
+            g = RefGraph(dict(rds), K, pos)
+            g.remove_short_linear_paths(K)
+            out = g.correct_reads(fastq)
+            rds, pos = out if isinstance(out, tuple) else (out, pos)
+            n_builds += 2
+        dt = time.time() - t0
+        rate = len(sample_ids) * n_builds / dt
+        best = rate if best is None else max(best, rate)
+    return best
 
 
 def _timed_cycle(reads, positions):
@@ -265,6 +298,60 @@ def _bench_polish():
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def _bench_e2e():
+    """Full pipeline, ingest → amira_results.tsv, on a synthetic isolate
+    with two AMR genes (one at two genomic loci). Returns reads/s wall-clock
+    over the whole run (BASELINE.md config 2's shape)."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    )
+    from synthetic import make_isolate
+
+    layout = []
+    for i in range(28):
+        layout.append(f"gene{i}")
+        if i == 5 or i == 23:
+            layout.append("amrX")  # two copies, distinct contexts
+        if i == 17:
+            layout.append("amrY")
+    tmp = tempfile.mkdtemp(prefix="amira_bench_e2e_")
+    try:
+        files = make_isolate(
+            tmp, seed=3, n_reads=E2E_READS, layout=layout,
+            amr_genes=("amrX", "amrY"), genes_per_read=(5, 9),
+        )
+        from amira_tpu.__main__ import main as amira_main
+
+        out = os.path.join(tmp, "out")
+        t0 = time.time()
+        try:
+            amira_main([
+                "--pandoraJSON", files["calls"],
+                "--gene-positions", files["positions"],
+                "--reads", files["fastq"],
+                "--species", "Escherichia_coli",
+                "--amr-fasta", files["amr_fasta"],
+                "--amr-calls", files["amr_calls"],
+                "--core-genes", files["core_genes"],
+                "--plasmid-genes", files["plasmid_genes"],
+                "--output", out, "--quiet",
+            ])
+        except SystemExit as e:
+            if e.code not in (None, 0):
+                raise
+        dt = time.time() - t0
+        import pandas as pd
+
+        df = pd.read_csv(os.path.join(out, "amira_results.tsv"), sep="\t")
+        assert len(df) >= 2, f"expected >=2 AMR calls, got {len(df)}"
+        return E2E_READS / dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     """Supervisor: run the measurement in a child with a hard timeout (the
     TPU tunnel can wedge mid-run, hanging forever in-process); on
@@ -276,7 +363,7 @@ def main():
         return _run_bench()
     env = dict(os.environ, AMIRA_TPU_BENCH_STAGE="run")
     try:
-        r = subprocess.run([sys.executable, __file__], env=env, timeout=1500)
+        r = subprocess.run([sys.executable, __file__], env=env, timeout=2400)
         if r.returncode == 0:
             return
     except subprocess.TimeoutExpired:
@@ -284,7 +371,7 @@ def main():
     sys.stderr.write("[bench] device run failed or hung; CPU fallback\n")
     env["AMIRA_TPU_BENCH_CPU"] = "1"
     raise SystemExit(
-        subprocess.run([sys.executable, __file__], env=env, timeout=3000).returncode
+        subprocess.run([sys.executable, __file__], env=env, timeout=3600).returncode
     )
 
 
@@ -303,7 +390,9 @@ def _run_bench():
     reads_per_sec = len(reads) * n_builds / dt
     n_nodes = g.get_total_number_of_nodes()
 
-    baseline = _baseline_reads_per_sec(reads)  # per rebuild, build cost only
+    # per-build-equivalent throughput of THE REAL upstream implementation
+    # running the same cycle (imported from /root/reference)
+    baseline = _baseline_reads_per_sec(reads, positions)
 
     # secondary metric: batched allele polishing (alleles/s, speedup vs the
     # serial per-allele pipeline on the same kernels)
@@ -326,6 +415,31 @@ def _run_bench():
     except Exception as e:  # noqa: BLE001 — secondary metric must not kill the run
         sys.stderr.write(f"[bench] polish stage failed: {e}\n")
 
+    # secondary metric: whole-pipeline ingest -> amira_results.tsv reads/s.
+    # vs_baseline divides by the upstream PER-BUILD cleaning throughput —
+    # very conservative (the upstream pipeline runs ~70 such builds plus
+    # clustering/polish/copy-number work that is not charged here).
+    try:
+        e2e_rps = _bench_e2e()
+        print(
+            json.dumps(
+                {
+                    "metric": f"e2e_pipeline_reads_per_sec_{platform}",
+                    "value": round(e2e_rps, 1),
+                    "unit": "reads/s",
+                    "vs_baseline": round(e2e_rps / baseline, 3),
+                }
+            )
+        )
+        sys.stderr.write(
+            f"[bench] e2e: {E2E_READS} reads ingest->TSV at "
+            f"{e2e_rps:.0f} reads/s (vs upstream per-build cleaning rate "
+            f"{baseline:.0f} reads/s; upstream's own e2e would be far "
+            f"slower than that rate)\n"
+        )
+    except Exception as e:  # noqa: BLE001 — secondary metric must not kill the run
+        sys.stderr.write(f"[bench] e2e stage failed: {e}\n")
+
     # headline metric LAST on stdout
     result = {
         "metric": f"genemer_cleaning_cycle_reads_per_sec_{platform}",
@@ -337,8 +451,9 @@ def _run_bench():
     sys.stderr.write(
         f"[bench] {len(reads)} reads x {n_builds} builds "
         f"({CLEAN_ITERS} full cleaning iterations: filter+correct+tips) in "
-        f"{dt:.2f}s ({reads_per_sec:.0f} reads/s) vs reference-style "
-        f"baseline {baseline:.0f} reads/s on {platform}; {n_nodes} nodes\n"
+        f"{dt:.2f}s ({reads_per_sec:.0f} reads/s) vs REAL upstream Amira "
+        f"{baseline:.0f} reads/s (same cycle, per-build-equivalent) on "
+        f"{platform}; {n_nodes} nodes\n"
     )
 
 

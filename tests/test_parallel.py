@@ -213,3 +213,79 @@ def test_distributed_full_graph_build_equals_single_device():
         )
     assert g1.get_readNodes() == g2.get_readNodes()
     assert g1.get_readNodePositions() == g2.get_readNodePositions()
+
+
+def _graphs_equal(g1, g2):
+    assert list(g1.get_nodes().keys()) == list(g2.get_nodes().keys())
+    for h, a in g1.get_nodes().items():
+        b = g2.get_nodes()[h]
+        assert a.coverage == b.coverage and a.reads == b.reads
+        assert a.fwd_edges == b.fwd_edges and a.bwd_edges == b.bwd_edges
+    assert list(g1.get_edges().keys()) == list(g2.get_edges().keys())
+    for key, a in g1.get_edges().items():
+        b = g2.get_edges()[key]
+        assert (a.src, a.tgt, a.src_dir, a.tgt_dir, a.coverage) == (
+            b.src, b.tgt, b.src_dir, b.tgt_dir, b.coverage
+        )
+    assert g1.get_readNodes() == g2.get_readNodes()
+
+
+@pytest.mark.parametrize("family", ["2d", "3d"])
+def test_distributed_full_graph_build_table_meshes(family):
+    """The FULL graph build on the hash-routed ("data", "table") and
+    hierarchical ("host", "data", "table") meshes equals the single-device
+    build — the per-partition tables concatenate back into the same key-
+    sorted global table (distgraph.make_distributed_graph_step merge
+    families; reference merge semantics amira/graph_utils.py:17-102)."""
+    from amira_tpu.graph import GeneMerGraph
+    from amira_tpu.parallel.distgraph import distributed_graph_build
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("need 8 devices")
+    if family == "2d":
+        mesh = Mesh(np.array(devices[:8]).reshape(4, 2), ("data", "table"))
+    else:
+        mesh = Mesh(
+            np.array(devices[:8]).reshape(2, 2, 2), ("host", "data", "table")
+        )
+    rng = np.random.RandomState(5)
+    k = 3
+    reads = {
+        f"r{i}": [
+            ("+" if rng.rand() < 0.5 else "-") + f"g{rng.randint(1, 40)}"
+            for _ in range(rng.randint(k, 14))
+        ]
+        for i in range(80)
+    }
+    vocab = GeneVocab()
+    g1 = GeneMerGraph(dict(reads), k, vocab=vocab)
+    g2 = distributed_graph_build(dict(reads), k, mesh, vocab=vocab)
+    _graphs_equal(g1, g2)
+
+
+def test_distributed_build_capacity_autosizes_past_16k_nodes():
+    """A build whose unique-node count exceeds the old fixed 16k cap must
+    succeed via stream-sized capacities + retry-with-doubling (VERDICT r02:
+    the bench's own 28k-node graph crashed the fixed caps). ~32k unique
+    nodes here."""
+    from amira_tpu.graph import GeneMerGraph
+    from amira_tpu.parallel.distgraph import distributed_graph_build
+
+    mesh = _mesh(min(8, len(jax.devices())))
+    rng = np.random.RandomState(11)
+    k = 3
+    reads = {
+        f"b{i}": [
+            ("+" if rng.rand() < 0.5 else "-") + f"g{rng.randint(1, 400)}"
+            for _ in range(10)
+        ]
+        for i in range(4000)
+    }
+    vocab = GeneVocab()
+    g1 = GeneMerGraph(dict(reads), k, vocab=vocab)
+    assert len(g1.get_nodes()) > (1 << 14)  # past the old fixed cap
+    g2 = distributed_graph_build(dict(reads), k, mesh, vocab=vocab)
+    assert list(g1.get_nodes().keys()) == list(g2.get_nodes().keys())
+    assert list(g1.get_edges().keys()) == list(g2.get_edges().keys())
+    assert g1.get_readNodes() == g2.get_readNodes()
