@@ -159,6 +159,59 @@ def plot_node_coverages(node_coverages, filename):
     return estimate_min_path_coverage(node_coverages, filename)
 
 
+def _lazy_node_read_pairs(graph):
+    """Unique (node_run, read_index) incidence pairs of a LAZY build, plus
+    the per-read gene counts — the only inputs the k-selection statistics
+    need (reference: per-node read lists, graph_utils.py:258-313)."""
+    lz = graph.lazy_tables()
+    inv, wlens = lz["inv"], lz["wlens"]
+    n_entries = len(lz["entries"])
+    occ_read = np.repeat(np.arange(n_entries, dtype=np.int64), wlens)
+    pair_key = (inv.astype(np.uint64) << np.uint64(32)) | occ_read.astype(np.uint64)
+    upairs = np.unique(pair_key)
+    prun = (upairs >> np.uint64(32)).astype(np.int64)
+    pread = (upairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    read_len = wlens.astype(np.int64) + (graph.get_kmerSize() - 1)
+    return prun, pread, read_len
+
+
+def _lazy_amr_node_mask(graph, sample_genesOfInterest) -> np.ndarray:
+    """Boolean per-unique-node 'contains an AMR gene' vector computed from
+    the occurrence stream (every window of a node shares the canonical
+    gene multiset, so per-occurrence window membership OR-reduced onto the
+    node table equals the object path's per-node token scan)."""
+    lz = graph.lazy_tables()
+    n_nodes = len(lz["uh"])
+    vocab = graph.vocab
+    gids = {vocab.id_of(g) for g in sample_genesOfInterest if g in vocab}
+    if not gids or n_nodes == 0:
+        return np.zeros(n_nodes, dtype=bool)
+    k = graph.get_kmerSize()
+    entries, wlens = lz["entries"], lz["wlens"]
+    toks = [e.tok for e in entries]
+    flat = np.concatenate(toks) if toks else np.zeros(0, np.int32)
+    tlens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+    toff = np.concatenate([[0], np.cumsum(tlens)])
+    amr_tok = np.isin(np.abs(flat), np.fromiter(gids, np.int64, len(gids)))
+    c = np.concatenate([[0], np.cumsum(amr_tok)])
+    occ_entry = np.repeat(np.arange(len(entries), dtype=np.int64), wlens)
+    occ_wi = np.arange(len(occ_entry), dtype=np.int64) - lz["offs"][:-1][occ_entry]
+    start = toff[occ_entry] + occ_wi
+    occ_amr = (c[start + k] - c[start]) > 0
+    node_amr = np.zeros(n_nodes, dtype=bool)
+    np.logical_or.at(node_amr, lz["inv"][occ_amr], True)
+    return node_amr
+
+
+def _lazy_component_labels(graph) -> np.ndarray:
+    """Connected-component labels over the unique-node table."""
+    lz = graph.lazy_tables()
+    n = len(lz["uh"])
+    edges = graph._edge_table()
+    src_idx, tgt_idx = edges[7], edges[8]
+    return clean._components(n, src_idx, tgt_idx)
+
+
 def choose_kmer_size(
     overall_mean_node_coverage,
     new_annotatedReads,
@@ -170,13 +223,24 @@ def choose_kmer_size(
 ):
     """Largest odd k in [3, 15] such that every component keeps >= 80% of its
     AMR reads with >= 2k-1 genes (amira/graph_utils.py:258-296); k=3 when
-    mean coverage < 20."""
+    mean coverage < 20.
+
+    Lazy builds answer the per-component statistic straight from the
+    aggregation tables (incidence pairs + component labels) without
+    materializing Node/Edge objects; parity with the object walk is pinned
+    by tests/test_graph_utils.py."""
     geneMer_size = 3
     if overall_mean_node_coverage >= 20:
         for k in range(3, 16, 2):
             graph = build_graph(
                 dict(new_annotatedReads), k, dict(new_gene_position_dict), vocab, cache
             )
+            if graph.is_lazy:
+                if _all_components_valid_lazy(graph, sample_genesOfInterest, k):
+                    geneMer_size = k
+                else:
+                    break
+                continue
             amr_nodes = {
                 n.hash
                 for g in sample_genesOfInterest
@@ -205,9 +269,51 @@ def choose_kmer_size(
     return geneMer_size
 
 
+def _all_components_valid_lazy(graph, sample_genesOfInterest, k) -> bool:
+    """Table-backed 'every component keeps >=80% of its AMR reads at
+    >=2k-1 genes' check (the is_component_valid quantifier over
+    graph.components() of the object path)."""
+    lz = graph.lazy_tables()
+    if len(lz["uh"]) == 0:
+        return True
+    node_amr = _lazy_amr_node_mask(graph, sample_genesOfInterest)
+    if not node_amr.any():
+        return True
+    comp = _lazy_component_labels(graph)
+    prun, pread, read_len = _lazy_node_read_pairs(graph)
+    on_amr = node_amr[prun]
+    if not on_amr.any():
+        return True
+    # unique (component, read) pairs among AMR-node incidences
+    ckey = comp[prun[on_amr]].astype(np.uint64) << np.uint64(32)
+    ckey |= pread[on_amr].astype(np.uint64)
+    ukey = np.unique(ckey)
+    ucomp = (ukey >> np.uint64(32)).astype(np.int64)
+    uread = (ukey & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    qualified = read_len[uread] >= (2 * k - 1)
+    n_comp = int(comp.max()) + 1
+    totals = np.bincount(ucomp, minlength=n_comp)
+    good = np.bincount(ucomp[qualified], minlength=n_comp)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        frac = np.where(totals > 0, good / np.maximum(totals, 1), 1.0)
+    return bool((frac >= 0.8).all())
+
+
 def get_overall_mean_node_coverages(graph):
     """Per-k mean of 'reads on node with >= k genes' counts
-    (amira/graph_utils.py:299-313)."""
+    (amira/graph_utils.py:299-313). Lazy builds compute the statistic from
+    the unique incidence pairs; object builds keep the reference walk."""
+    if graph.is_lazy:
+        lz = graph.lazy_tables()
+        n_nodes = len(lz["uh"])
+        out = {}
+        if n_nodes == 0:
+            return {k: 0 for k in range(3, 16, 2)}
+        _prun, pread, read_len = _lazy_node_read_pairs(graph)
+        plen = read_len[pread]
+        for k in range(3, 16, 2):
+            out[k] = float(np.sum(plen >= k) / n_nodes)
+        return out
     reads = graph.get_reads()
     read_len = {r: len(reads[r]) for r in reads}
     out = {}

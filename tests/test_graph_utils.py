@@ -53,3 +53,77 @@ def test_overall_mean_node_coverages_monotone():
     assert set(covs) == {3, 5, 7, 9, 11, 13, 15}
     # coverage contribution shrinks as the k threshold grows
     assert covs[3] >= covs[9] >= covs[15]
+
+
+# ---------------------------------------------------------------------------
+# lazy-table paths == object paths (VERDICT r2 #8: k selection and per-k mean
+# coverages must not materialize the object graph)
+
+
+def _fixture_reads():
+    import json
+
+    calls = json.load(open("/root/reference/tests/complex_gene_calls_three.json"))
+    positions = {
+        r: [(i * 100, i * 100 + 99) for i in range(len(g))]
+        for r, g in calls.items()
+    }
+    return calls, positions
+
+
+def test_mean_node_coverages_lazy_matches_object():
+    from amira_tpu.graph_cache import GraphBuildCache
+
+    calls, positions = _fixture_reads()
+    g_obj = GeneMerGraph(dict(calls), 3, dict(positions))
+    got_obj = get_overall_mean_node_coverages(g_obj)
+    g_lazy = GeneMerGraph(dict(calls), 3, dict(positions), cache=GraphBuildCache())
+    assert g_lazy.is_lazy
+    got_lazy = get_overall_mean_node_coverages(g_lazy)
+    assert g_lazy.is_lazy, "lazy path must not materialize"
+    assert set(got_obj) == set(got_lazy)
+    for k in got_obj:
+        assert abs(got_obj[k] - got_lazy[k]) < 1e-9, (k, got_obj[k], got_lazy[k])
+
+
+def test_choose_kmer_size_lazy_matches_object():
+    from amira_tpu.graph_cache import GraphBuildCache
+    from amira_tpu.vocab import GeneVocab
+
+    calls, positions = _fixture_reads()
+    amr = set()
+    for genes in calls.values():
+        for g in genes:
+            if "bla" in g or "aac" in g or "aph" in g:
+                amr.add(g[1:])
+    assert amr, "fixture should contain AMR-like genes"
+    k_obj = choose_kmer_size(50.0, calls, 1, positions, amr, vocab=GeneVocab())
+    k_lazy = choose_kmer_size(
+        50.0, calls, 1, positions, amr, vocab=GeneVocab(), cache=GraphBuildCache()
+    )
+    assert k_obj == k_lazy
+
+
+def test_choose_kmer_size_lazy_matches_object_synthetic():
+    from amira_tpu.graph_cache import GraphBuildCache
+    from amira_tpu.vocab import GeneVocab
+
+    # mixed read lengths so higher k invalidates some components
+    reads = {}
+    for i in range(25):
+        reads[f"long{i}"] = [f"+g{j}" for j in range(5)] + ["+amrX"] + [
+            f"+g{j}" for j in range(5, 10)
+        ]
+    for i in range(25):
+        reads[f"short{i}"] = ["+h0", "+amrY", "+h1", "+h2"]
+    positions = {
+        r: [(j * 10, j * 10 + 9) for j in range(len(g))] for r, g in reads.items()
+    }
+    k_obj = choose_kmer_size(
+        50.0, reads, 1, positions, {"amrX", "amrY"}, vocab=GeneVocab()
+    )
+    k_lazy = choose_kmer_size(
+        50.0, reads, 1, positions, {"amrX", "amrY"},
+        vocab=GeneVocab(), cache=GraphBuildCache(),
+    )
+    assert k_obj == k_lazy
