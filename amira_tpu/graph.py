@@ -1800,6 +1800,20 @@ class GeneMerGraph:
     ):
         from amira_tpu.bubbles import correct_low_coverage_paths
 
+        if self.is_lazy:
+            # table-backed sweep: no Node/Edge materialization (parity with
+            # the object path pinned by tests/test_bubble_view.py)
+            from amira_tpu.bubble_view import BubbleView
+
+            return correct_low_coverage_paths(
+                BubbleView(self),
+                fastq_data,
+                genesOfInterest,
+                cores,
+                min_path_coverage,
+                components_to_skip,
+                use_minimizers,
+            )
         return correct_low_coverage_paths(
             self,
             fastq_data,
