@@ -155,6 +155,13 @@ def get_canonical_representation(block):
     return sorted([block, list(reversed(block))])[0]
 
 
+# Context semantics for reverse-oriented reads: "accumulate" (default) is
+# orientation-order-independent; "replace" mirrors the reference's overwrite
+# (path_finding_utils.py:153-162) and exists so the divergence can be
+# bounded on real data (tests/test_cluster_divergence.py).
+CONTEXT_REVERSE_MODE = "accumulate"
+
+
 def _get_full_path_contexts(
     positions_of_path, contexts, reads, read_id, block_reads, ctx_memo=None
 ):
@@ -186,10 +193,16 @@ def _get_full_path_contexts(
         # diverging contexts). The behavior its test corpus pins down
         # (test_path_finding.py:743, diverging terminals -> 2 paths) needs
         # every read's contexts, so we accumulate symmetrically.
-        if canonical_tuple not in contexts:
-            contexts[canonical_tuple] = {"upstream": set(), "downstream": set()}
+        # CONTEXT_REVERSE_MODE = "replace" reproduces the reference's
+        # overwrite so the divergence can be MEASURED on real fixtures
+        # (tests/test_cluster_divergence.py bounds it).
         rv_up = {tuple(reversed(list(u))) for u in up_options}
         rv_down = {tuple(reversed(list(d))) for d in down_options}
+        if CONTEXT_REVERSE_MODE == "replace":
+            contexts[canonical_tuple] = {"upstream": rv_down, "downstream": rv_up}
+            return
+        if canonical_tuple not in contexts:
+            contexts[canonical_tuple] = {"upstream": set(), "downstream": set()}
         contexts[canonical_tuple]["upstream"].update(rv_down)
         contexts[canonical_tuple]["downstream"].update(rv_up)
 

@@ -775,6 +775,23 @@ def _stitch_pieces(pieces):
     return max(parts, key=lambda a: a.score)
 
 
+class _LazySeedIndex:
+    """Per-reference seed index built on first access."""
+
+    __slots__ = ("_aligner",)
+
+    def __init__(self, aligner):
+        self._aligner = aligner
+
+    def __getitem__(self, name):
+        a = self._aligner
+        idx = a._seed_cache.get(name)
+        if idx is None:
+            idx = build_ref_seed_index(a.ref_codes[name], a.seed_k)
+            a._seed_cache[name] = idx
+        return idx
+
+
 class Aligner:
     """Batched seed-chain-extend aligner against a fixed reference set."""
 
@@ -784,10 +801,42 @@ class Aligner:
         self.ref_names = list(references.keys())
         self.ref_seqs = {n: references[n] for n in self.ref_names}
         self.ref_codes = {n: encode_dna(references[n]) for n in self.ref_names}
-        self.ref_seed_index = {
-            n: build_ref_seed_index(self.ref_codes[n], seed_k)
-            for n in self.ref_names
-        }
+        # seed indexes build on first use: diagonal-reuse callers
+        # (map_with_diagonals) never pay for them
+        self._seed_cache: dict = {}
+        self.ref_seed_index = _LazySeedIndex(self)
+
+    def map_with_diagonals(self, reads: dict[str, str], targets: dict):
+        """Map each read against ONE reference on a known band placement —
+        no seeding. `targets` = {read_id: (ref_name, strand, diag)} with
+        diag = r_start - q_start of the expected alignment; the band is
+        centered there (the polish loop reuses the previous iteration's
+        alignment, which drifts far less than the band half-width).
+        Returns {read_id: {ref: (strand, Alignment)}} like map_reads."""
+        jobs = []
+        for rid, seq in reads.items():
+            tgt = targets.get(rid)
+            if tgt is None:
+                continue
+            name, strand, diag = tgt
+            qseq = seq if strand == "+" else reverse_complement(seq)
+            jobs.append(((rid, name), strand, qseq, int(diag)))
+        raw: dict = {}
+        for (rid, name), strand, _qseq, aln in self._run_jobs(jobs):
+            raw.setdefault((rid, name, strand), []).append(aln)
+        results: dict = {}
+        for (rid, name, strand), alns in raw.items():
+            pieces = []
+            for a in alns:
+                pieces.extend(_zdrop_split(a))
+            if not pieces:
+                continue
+            best = _stitch_pieces(pieces) if len(pieces) > 1 else pieces[0]
+            per_read = results.setdefault(rid, {})
+            prev = per_read.get(name)
+            if prev is None or best.score > prev[1].score:
+                per_read[name] = (strand, best)
+        return results
 
     def map_sequence(self, seq: str, min_seeds: int = 2):
         """Map one query (both strands) against every reference; returns

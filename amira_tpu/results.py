@@ -625,13 +625,38 @@ def get_alleles(
                 [f">{valid_allele}\n{draft}"],
             )
             st["valid_allele"] = valid_allele
+            st["draft_offset"] = first_base
             active[allele_name] = draft
         else:
             rows_by_allele[allele_name] = _row_fallback(
                 st["gene"], allele_name, refs_sorted, unique_reads, phenotypes
             )
 
-    # ---- stage 2: five polish iterations, all active alleles per launch
+    # ---- stage 2: five polish iterations, all active alleles per launch.
+    # Band placement carries over between iterations (each read's previous
+    # alignment centers its band on the next draft), so the per-iteration
+    # work is exactly one batched DP+traceback launch set — no re-seeding,
+    # no per-draft seed indexes (result_utils.py:285-335,541-556).
+    targets: dict = {}  # read key -> (allele, strand, diag vs current draft)
+    for allele_name in active:
+        st = state[allele_name]
+        valid_allele = st["valid_allele"]
+        for rid in st["read_seqs"]:
+            h = all_hits.get(f"{allele_name}{SEP}{rid}", {})
+            h = _strip_gene(h)
+            hit = h.get(valid_allele)
+            if hit is None and h:
+                # no stage-1 hit on the chosen reference: borrow the best
+                # other allele's placement (homologous coordinates)
+                hit = max(h.values(), key=lambda sa: sa[1].score)
+            if hit is None:
+                continue
+            strand, aln = hit
+            # draft = reference[first:last+1]; stage-1 coords shift by first
+            fb = st["draft_offset"]
+            targets[f"{allele_name}{SEP}{rid}"] = (
+                allele_name, strand, aln.r_start - fb - aln.q_start
+            )
     for _ in range(5):
         if not active:
             break
@@ -639,13 +664,16 @@ def get_alleles(
             {a: d for a, d in active.items()}, band_width=band_width
         )
         it_reads: dict = {}
-        it_subsets: dict = {}
+        it_targets: dict = {}
         for allele_name in active:
             for rid, seq in state[allele_name]["read_seqs"].items():
                 key = f"{allele_name}{SEP}{rid}"
+                tgt = targets.get(key)
+                if tgt is None:
+                    continue
                 it_reads[key] = seq
-                it_subsets[key] = [allele_name]
-        hits = draft_aligner.map_reads(it_reads, ref_subsets=it_subsets)
+                it_targets[key] = tgt
+        hits = draft_aligner.map_with_diagonals(it_reads, it_targets)
         alns_by_allele: dict = {a: [] for a in active}
         for key, h in hits.items():
             allele_name = key.split(SEP, 1)[0]
@@ -654,16 +682,28 @@ def get_alleles(
                 seq = it_reads[key]
                 oriented = seq if strand == "+" else reverse_complement(seq)
                 alns_by_allele[allele_name].append((strand, aln, oriented))
+                targets[key] = (allele_name, strand, aln.r_start - aln.q_start)
         for allele_name in list(active):
             alns = alns_by_allele[allele_name]
             if not alns:
                 state[allele_name]["polished"] = active.pop(allele_name)
                 continue
-            new_seq = consensus_from_alignments(active[allele_name], alns)
-            if new_seq == active[allele_name]:
+            old = active[allele_name]
+            new_seq = consensus_from_alignments(old, alns)
+            if new_seq == old:
                 state[allele_name]["polished"] = active.pop(allele_name)
             else:
                 active[allele_name] = new_seq
+                # proportional band-shift for the next draft's coordinates
+                if len(old):
+                    dlen = len(new_seq) - len(old)
+                    for rid in state[allele_name]["read_seqs"]:
+                        key = f"{allele_name}{SEP}{rid}"
+                        tgt = targets.get(key)
+                        if tgt is not None:
+                            _a, s, diag = tgt
+                            shift = dlen * max(diag, 0) // len(old)
+                            targets[key] = (_a, s, diag + shift)
     for allele_name, draft in active.items():
         state[allele_name]["polished"] = draft
 
