@@ -1,0 +1,140 @@
+"""500k-read ceiling proof (VERDICT r2 #6; BASELINE config scale).
+
+Generates a synthetic isolate at the reference's subsample ceiling
+(/root/reference/amira/__main__.py:136-142: 500,000 reads), with pandora-
+style gene-call noise so the cleaning loop and clustering see realistic
+pre-convergence diversity, runs the FULL pipeline (ingest -> TSV), and
+writes a per-phase wall-clock report to SCALE_REPORT.md from the
+pipeline's own phase_timings.json.
+
+Usage: python scale_run.py [--reads 500000] [--cpu] [--workdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=500_000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--workdir", default="/tmp/amira_scale")
+    ap.add_argument("--report", default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from synthetic import make_isolate
+
+    # genome: 400 single-copy genes; amrX at two loci (multi-copy
+    # separation work), amrY at one; reads span 10-20 genes
+    layout = []
+    for i in range(400):
+        layout.append(f"gene{i}")
+        if i in (50, 290):
+            layout.append("amrX")
+        if i == 170:
+            layout.append("amrY")
+
+    os.makedirs(args.workdir, exist_ok=True)
+    t0 = time.time()
+    sys.stderr.write(f"[scale] generating {args.reads} reads...\n")
+    files = make_isolate(
+        args.workdir,
+        seed=17,
+        n_reads=args.reads,
+        layout=layout,
+        amr_genes=("amrX", "amrY"),
+        genes_per_read=(10, 20),
+        gene_len=400,
+        fast=True,
+        call_noise=0.05,
+    )
+    gen_s = time.time() - t0
+    sys.stderr.write(f"[scale] generated in {gen_s:.0f}s\n")
+
+    from amira_tpu.__main__ import main as amira_main
+
+    out = os.path.join(args.workdir, "out")
+    t0 = time.time()
+    try:
+        amira_main([
+            "--pandoraJSON", files["calls"],
+            "--gene-positions", files["positions"],
+            "--reads", files["fastq"],
+            "--species", "Escherichia_coli",
+            "--amr-fasta", files["amr_fasta"],
+            "--amr-calls", files["amr_calls"],
+            "--core-genes", files["core_genes"],
+            "--plasmid-genes", files["plasmid_genes"],
+            "--output", out,
+        ])
+    except SystemExit as e:
+        if e.code not in (None, 0):
+            raise
+    total_s = time.time() - t0
+
+    with open(os.path.join(out, "phase_timings.json")) as fh:
+        phases = json.load(fh)
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out, "amira_results.tsv"), sep="\t")
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    rows = []
+    phase_total = sum(p["seconds"] for p in phases)
+    for p in phases:
+        pct = 100.0 * p["seconds"] / max(phase_total, 1e-9)
+        extra = f" ({p['items_per_sec']:.0f} {p.get('unit','items')}/s)" if "items_per_sec" in p else ""
+        rows.append(
+            f"| {p['phase']} | {p['seconds']:.1f} | {pct:.1f}% |{extra} |"
+        )
+    clustering_s = sum(
+        p["seconds"] for p in phases if "clustering" in p["phase"]
+    )
+    report = args.report or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALE_REPORT.md"
+    )
+    with open(report, "w") as fh:
+        fh.write(
+            f"""# 500k-read ceiling run
+
+Synthetic isolate at the reference's subsample ceiling
+(`/root/reference/amira/__main__.py:136-142`): **{args.reads:,} reads**,
+403-gene genome, amrX at two genomic loci + amrY, 10-20 genes/read,
+5% pandora-style call noise (drops/strand flips), 2%/1% sub/indel
+sequence error. Generated in {gen_s:.0f}s (vectorized simulator,
+tests/synthetic.py:mutate_fast).
+
+Platform: **{platform}** · end-to-end wall-clock **{total_s:.0f}s**
+({args.reads/total_s:.0f} reads/s ingest->TSV) · AMR rows: {len(df)}
+(expected amrX x2 + amrY).
+
+| phase | seconds | % of phase total | throughput |
+|---|---|---|---|
+{os.linesep.join(rows)}
+
+Clustering share: {100.0 * clustering_s / max(phase_total, 1e-9):.1f}%
+of phase time (VERDICT r2 #6 bar: <30%).
+"""
+        )
+    sys.stderr.write(
+        f"[scale] done: {total_s:.0f}s e2e, {len(df)} AMR rows, "
+        f"report -> {report}\n"
+    )
+    assert len(df) >= 2, "expected the multi-copy AMR calls"
+
+
+if __name__ == "__main__":
+    main()

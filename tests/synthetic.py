@@ -38,6 +38,36 @@ def revcomp(seq):
     return seq.translate(str.maketrans("ACGT", "TGCA"))[::-1]
 
 
+_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+_CODE = np.full(256, 0, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _CODE[_b] = _i
+
+
+def mutate_fast(rng, codes, sub=0.03, indel=0.02):
+    """Vectorized twin of mutate() over uint8 base codes (different RNG
+    stream, same error model) — needed for 100k-500k-read isolates where
+    the per-character loop would dominate generation time."""
+    n = len(codes)
+    r = rng.rand(n)
+    subs = r < sub
+    dels = (r >= sub) & (r < sub + indel / 2)
+    ins = (r >= sub + indel / 2) & (r < sub + indel)
+    out = codes.copy()
+    if subs.any():
+        out[subs] = (codes[subs] + rng.randint(1, 4, size=int(subs.sum()))) % 4
+    lens = np.where(dels, 0, 1) + ins
+    starts = np.cumsum(lens) - lens
+    res = np.empty(int(lens.sum()), dtype=np.uint8)
+    keep = ~dels
+    res[starts[keep]] = out[keep]
+    if ins.any():
+        res[starts[ins] + 1] = rng.randint(0, 4, size=int(ins.sum())).astype(
+            np.uint8
+        )
+    return res
+
+
 def make_isolate(
     tmpdir,
     seed=0,
@@ -49,15 +79,27 @@ def make_isolate(
     sub=0.02,
     indel=0.01,
     reverse_fraction=0.3,
+    fast=False,
+    call_noise=0.0,
 ):
     """Returns dict of file paths: calls, positions, fastq, amr_fasta,
-    amr_calls, core_genes, plasmid_genes, plus ground truth."""
+    amr_calls, core_genes, plasmid_genes, plus ground truth.
+
+    fast=True switches read-error simulation to the vectorized mutate_fast
+    (different RNG stream than the default loop, so goldens pinned to
+    fast=False seeds are unaffected); required for >=100k-read isolates.
+
+    call_noise > 0 simulates pandora miscalls: per gene call, with that
+    probability the call is dropped or strand-flipped (never on AMR genes),
+    so the graph-cleaning loop sees realistic pre-convergence diversity
+    instead of error-free calls that dedup to a handful of sequences."""
     rng = np.random.RandomState(seed)
     if layout is None:
         layout = ["geneA", "geneB", "geneC", "amrX", "geneD", "geneE", "geneF", "geneG"]
     gene_seqs = {
         g: random_seq(rng, gene_len) for g in set(layout) | set(amr_genes)
     }
+    gene_codes = {g: _CODE[np.frombuffer(s.encode(), np.uint8)] for g, s in gene_seqs.items()}
     n_genes = len(layout)
     lo, hi = genes_per_read
     calls, positions, fastq = {}, {}, {}
@@ -65,7 +107,15 @@ def make_isolate(
         span = min(rng.randint(lo, hi + 1), n_genes)
         start = rng.randint(0, n_genes - span + 1)
         sub_layout = layout[start : start + span]
-        noisy_parts = [mutate(rng, gene_seqs[g], sub, indel) for g in sub_layout]
+        if fast:
+            noisy_parts = [
+                _LUT[mutate_fast(rng, gene_codes[g], sub, indel)]
+                .tobytes()
+                .decode()
+                for g in sub_layout
+            ]
+        else:
+            noisy_parts = [mutate(rng, gene_seqs[g], sub, indel) for g in sub_layout]
         read_genes = [f"+{g}" for g in sub_layout]
         pos = []
         cursor = 0
@@ -80,6 +130,19 @@ def make_isolate(
                 ("-" if g[0] == "+" else "+") + g[1:] for g in reversed(read_genes)
             ]
             pos = [(L - 1 - e, L - 1 - s) for (s, e) in reversed(pos)]
+        if call_noise > 0:
+            kept_genes, kept_pos = [], []
+            for g, p in zip(read_genes, pos):
+                r = rng.rand()
+                if g[1:] not in amr_genes and r < call_noise:
+                    if r < call_noise / 2:
+                        continue  # dropped call
+                    g = ("-" if g[0] == "+" else "+") + g[1:]
+                kept_genes.append(g)
+                kept_pos.append(p)
+            if not kept_genes:
+                kept_genes, kept_pos = read_genes, pos
+            read_genes, pos = kept_genes, kept_pos
         rid = f"read{i}"
         calls[rid] = read_genes
         positions[rid] = pos
