@@ -79,6 +79,9 @@ class BubbleView:
 
     def __init__(self, graph):
         self.graph = graph
+        # the run-long build cache also carries node sketch sets for the
+        # bubble sweeps (bubbles.get_minhashes_for_paths)
+        self._cache = getattr(graph, "_cache", None)
         lz = graph.lazy_tables()
         assert lz is not None, "BubbleView needs a lazy cached build"
         self.lz = lz

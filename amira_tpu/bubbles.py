@@ -146,7 +146,15 @@ def separate_paths_by_terminal_nodes(sorted_filtered_paths):
 
 def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
     """Per-path list of per-node read-subsequence sketches
-    (construct_graph.py:2148-2194)."""
+    (construct_graph.py:2148-2194).
+
+    All node sketches of a sweep are hashed in ONE batched pass
+    (sketch.grouped_scaled_hash_sets) and cached on the run-long build
+    cache keyed by the node's exact (read, span) contribution list, so
+    repeated sweeps over a mostly-unchanged graph skip the hashing
+    entirely. Byte-identical to per-slice MinHash.add_sequence."""
+    from amira_tpu.sketch import grouped_scaled_hash_sets
+
     node_minhashes: dict = {}
     path_minimizers: dict = {}
     for path_tuple, _cov in sorted_filtered_paths:
@@ -154,17 +162,47 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
         for h in nodes:
             node_minhashes.setdefault(h, None)
         path_minimizers[tuple(nodes)] = []
+    cache_obj = getattr(graph, "_cache", None)
+    store = None
+    if cache_obj is not None:
+        store = getattr(cache_obj, "node_sketches", None)
+        if store is None:
+            store = {}
+            cache_obj.node_sketches = store
+    read_nodes_map = graph.get_readNodes()
+    positions_map = graph.get_readNodePositions()
+    pend_nodes, pend_fps, pend_slices, pend_groups = [], [], [], []
     for h in node_minhashes:
         node = graph.get_node_by_hash(h)
-        mh = MinHash(ksize=11, scaled=10)
+        spans = []
         for read in node.reads:
-            read_nodes = graph.get_readNodes()[read]
-            positions = graph.get_readNodePositions()[read]
-            seq = fastq_data[read]["sequence"]
+            read_nodes = read_nodes_map[read]
+            positions = positions_map[read]
             for i, n in enumerate(read_nodes):
                 if n == h and positions[i] is not None:
-                    mh.add_sequence(seq[positions[i][0] : positions[i][1] + 1])
-        node_minhashes[h] = mh
+                    spans.append((read, positions[i][0], positions[i][1]))
+        fp = tuple(spans)
+        if store is not None:
+            hit = store.get(h)
+            if hit is not None and hit[0] == fp:
+                node_minhashes[h] = hit[1]
+                continue
+        gi = len(pend_nodes)
+        pend_nodes.append(h)
+        pend_fps.append(fp)
+        for read, s, e in spans:
+            pend_slices.append(fastq_data[read]["sequence"][s : e + 1])
+            pend_groups.append(gi)
+    if pend_nodes:
+        arrays = grouped_scaled_hash_sets(
+            pend_slices, pend_groups, len(pend_nodes), ksize=11, scaled=10
+        )
+        for h, fp, arr in zip(pend_nodes, pend_fps, arrays):
+            mh = MinHash(ksize=11, scaled=10)
+            mh._hashes = set(arr.tolist())
+            node_minhashes[h] = mh
+            if store is not None:
+                store[h] = (fp, mh)
     for nodes in path_minimizers:
         path_minimizers[nodes] = [node_minhashes[h] for h in nodes]
     return path_minimizers

@@ -93,6 +93,38 @@ def _compact_count_kernel(sorted_codes, boundary, run_counts, C: int):
     return kmers, counts
 
 
+def _host_canonical_codes(codes: np.ndarray, k: int) -> np.ndarray:
+    """Valid canonical window codes, vectorized numpy (same values as
+    _kmer_codes_kernel, invalid windows dropped)."""
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint32)
+    bad = codes >= 4
+    cs = np.zeros(len(codes) + 1, np.int64)
+    np.cumsum(bad, out=cs[1:])
+    valid = (cs[k:] - cs[:-k]) == 0
+    cc = np.where(bad, 0, codes).astype(np.uint32)
+    fwd = np.zeros(n, dtype=np.uint32)
+    rc = np.zeros(n, dtype=np.uint32)
+    for j in range(k):
+        bj = cc[j : j + n]
+        fwd = (fwd << np.uint32(2)) | bj
+        rc = rc | (((np.uint32(3) - bj) & np.uint32(3)) << np.uint32(2 * j))
+    return np.minimum(fwd, rc)[valid]
+
+
+# above this many base codes, the device path's whole-buffer transfer and
+# XLA sort lose to a host numpy sort (and through the remote-TPU tunnel the
+# transfer alone is prohibitive); identical counts either way
+_HOST_SORT_THRESHOLD = 1 << 25
+
+
+def _use_host_count(n: int) -> bool:
+    if n > _HOST_SORT_THRESHOLD:
+        return True
+    return jax.devices()[0].platform == "cpu" and n > (1 << 20)
+
+
 class KmerCounter:
     """Canonical k-mer count table over a read set (jellyfish equivalent)."""
 
@@ -107,6 +139,17 @@ class KmerCounter:
         self = cls(k)
         codes = _concat_codes(list(seqs))
         if len(codes) < k:
+            return self
+        if _use_host_count(len(codes)):
+            wc = _host_canonical_codes(codes, k)
+            if len(wc) == 0:
+                return self
+            kmers, counts = np.unique(wc, return_counts=True)
+            counts = counts.astype(np.int64)
+            if min_count > 0:
+                keep = counts >= min_count
+                kmers, counts = kmers[keep], counts[keep]
+            self.kmers, self.counts = kmers, counts
             return self
         # windowing + sort + run-length counting on device; only the compact
         # (distinct k-mer, count) table crosses back to the host
@@ -143,6 +186,14 @@ class KmerCounter:
         codes = _concat_codes(list(seqs))
         if len(codes) < self.k:
             return np.zeros(0, dtype=np.int64)
+        if _use_host_count(len(codes)):
+            window_codes = _host_canonical_codes(codes, self.k)
+            if len(window_codes) == 0 or len(self.kmers) == 0:
+                return np.zeros(len(window_codes), dtype=np.int64)
+            idx = np.searchsorted(self.kmers, window_codes)
+            idx = np.clip(idx, 0, len(self.kmers) - 1)
+            hit = self.kmers[idx] == window_codes
+            return np.where(hit, self.counts[idx], 0)
         n_pad = _pow2_bucket(len(codes), 1 << 12)
         if n_pad != len(codes):
             codes = np.concatenate(
@@ -213,7 +264,11 @@ def estimate_overall_read_depth(sequences, k: int = 15):
     (result_utils.py:1050-1080). Returns (depth, filtered KmerCounter)."""
     full = KmerCounter.from_sequences(sequences, k)
     cutoff = kmer_cutoff_estimation(full.histo())
-    filtered = KmerCounter.from_sequences(sequences, k, min_count=max(cutoff, 1))
+    # the recount with -L cutoff (result_utils.py:1070-1076) is exactly a
+    # filter of the full table — no second windowing/sort pass needed
+    filtered = KmerCounter(k)
+    keep = full.counts >= max(cutoff, 1)
+    filtered.kmers, filtered.counts = full.kmers[keep], full.counts[keep]
     depth = estimate_kmer_depth(filtered.histo())
     return depth, filtered
 

@@ -157,3 +157,34 @@ def test_cutoff_estimation():
             histo[c] = n
     cutoff = kmer_cutoff_estimation(histo)
     assert 2 <= cutoff <= 15
+
+
+def test_kmer_host_path_matches_device_path():
+    """The host numpy count path (used for large inputs, where the device
+    transfer/sort loses) produces the identical (kmers, counts) table and
+    query answers as the device sort pipeline."""
+    import numpy as np
+
+    from amira_tpu.ops import kmer as K
+
+    rng = np.random.RandomState(9)
+    bases = np.array(list("ACGTN"))
+    seqs = [
+        "".join(rng.choice(bases, size=int(rng.randint(10, 400)),
+                           p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        for _ in range(40)
+    ]
+    codes = K._concat_codes(seqs)
+    assert not K._use_host_count(len(codes))  # small input -> device path
+    dev = K.KmerCounter.from_sequences(seqs, 15)
+    old = K._HOST_SORT_THRESHOLD
+    try:
+        K._HOST_SORT_THRESHOLD = 1  # force the host path
+        host = K.KmerCounter.from_sequences(seqs, 15)
+        q_host = host.query_sequences(seqs[:7])
+    finally:
+        K._HOST_SORT_THRESHOLD = old
+    q_dev = dev.query_sequences(seqs[:7])
+    assert np.array_equal(dev.kmers, host.kmers)
+    assert np.array_equal(dev.counts, host.counts)
+    assert np.array_equal(np.asarray(q_dev), np.asarray(q_host))

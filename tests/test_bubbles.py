@@ -117,3 +117,29 @@ def test_sequence_index_queries():
     assert idx.find_ids([3, 2]) == set()
     assert idx.suffixes_from(2) == {"r1": [2, 3, 4], "r2": [2, 3]}
     assert idx.find_all([9]) == []
+
+
+def test_grouped_scaled_hash_sets_matches_minhash():
+    """The batched sketch path (one concatenated buffer, k vectorized
+    passes) is byte-identical to unioning MinHash.add_sequence per slice —
+    including non-ACGT handling, short slices, and empty groups."""
+    import numpy as np
+
+    from amira_tpu.sketch import MinHash, grouped_scaled_hash_sets
+
+    rng = np.random.RandomState(3)
+    bases = np.array(list("ACGTN"))
+    slices, groups = [], []
+    n_groups = 7
+    for i in range(60):
+        ln = int(rng.randint(0, 200))
+        slices.append("".join(rng.choice(bases, size=ln, p=[0.24, 0.24, 0.24, 0.24, 0.04])))
+        groups.append(int(rng.randint(0, n_groups - 1)))  # group n-1 stays empty
+    for ksize, scaled in ((11, 10), (9, 1)):
+        got = grouped_scaled_hash_sets(slices, groups, n_groups, ksize, scaled)
+        for g in range(n_groups):
+            mh = MinHash(ksize=ksize, scaled=scaled)
+            for s, gi in zip(slices, groups):
+                if gi == g:
+                    mh.add_sequence(s)
+            assert set(got[g].tolist()) == mh.hashes, (g, ksize, scaled)
