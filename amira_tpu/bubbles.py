@@ -148,12 +148,13 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
     """Per-path list of per-node read-subsequence sketches
     (construct_graph.py:2148-2194).
 
-    All node sketches of a sweep are hashed in ONE batched pass
-    (sketch.grouped_scaled_hash_sets) and cached on the run-long build
-    cache keyed by the node's exact (read, span) contribution list, so
-    repeated sweeps over a mostly-unchanged graph skip the hashing
-    entirely. Byte-identical to per-slice MinHash.add_sequence."""
-    from amira_tpu.sketch import grouped_scaled_hash_sets
+    Read sequences are immutable for a run, so each read is hashed ONCE
+    (sketch.read_kept_kmer_index, cached on the run-long build cache) and a
+    node sketch is the unique union of position-range lookups over its
+    (read, span) occurrences; unchanged nodes additionally reuse their
+    finished sketch via an exact (read, span)-list fingerprint.
+    Byte-identical to per-slice MinHash.add_sequence."""
+    from amira_tpu.sketch import read_kept_kmer_index, span_hashes
 
     node_minhashes: dict = {}
     path_minimizers: dict = {}
@@ -162,16 +163,22 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
         for h in nodes:
             node_minhashes.setdefault(h, None)
         path_minimizers[tuple(nodes)] = []
+    import numpy as np
+
     cache_obj = getattr(graph, "_cache", None)
     store = None
+    read_index: dict = {}
     if cache_obj is not None:
         store = getattr(cache_obj, "node_sketches", None)
         if store is None:
             store = {}
             cache_obj.node_sketches = store
+        read_index = getattr(cache_obj, "read_kmer_index", None)
+        if read_index is None:
+            read_index = {}
+            cache_obj.read_kmer_index = read_index
     read_nodes_map = graph.get_readNodes()
     positions_map = graph.get_readNodePositions()
-    pend_nodes, pend_fps, pend_slices, pend_groups = [], [], [], []
     for h in node_minhashes:
         node = graph.get_node_by_hash(h)
         spans = []
@@ -187,22 +194,21 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
             if hit is not None and hit[0] == fp:
                 node_minhashes[h] = hit[1]
                 continue
-        gi = len(pend_nodes)
-        pend_nodes.append(h)
-        pend_fps.append(fp)
+        parts = []
         for read, s, e in spans:
-            pend_slices.append(fastq_data[read]["sequence"][s : e + 1])
-            pend_groups.append(gi)
-    if pend_nodes:
-        arrays = grouped_scaled_hash_sets(
-            pend_slices, pend_groups, len(pend_nodes), ksize=11, scaled=10
-        )
-        for h, fp, arr in zip(pend_nodes, pend_fps, arrays):
-            mh = MinHash(ksize=11, scaled=10)
-            mh._hashes = set(arr.tolist())
-            node_minhashes[h] = mh
-            if store is not None:
-                store[h] = (fp, mh)
+            idx = read_index.get(read)
+            if idx is None:
+                idx = read_kept_kmer_index(
+                    fastq_data[read]["sequence"], ksize=11, scaled=10
+                )
+                read_index[read] = idx
+            parts.append(span_hashes(idx, s, e, ksize=11))
+        mh = MinHash(ksize=11, scaled=10)
+        if parts:
+            mh._hashes = set(np.unique(np.concatenate(parts)).tolist())
+        node_minhashes[h] = mh
+        if store is not None:
+            store[h] = (fp, mh)
     for nodes in path_minimizers:
         path_minimizers[nodes] = [node_minhashes[h] for h in nodes]
     return path_minimizers

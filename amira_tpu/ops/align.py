@@ -502,10 +502,33 @@ def build_ref_seed_index(rcodes: np.ndarray, k: int = 15):
     return rk[order], pos[order]
 
 
+_FINE_BUCKETS = None
+
+
+def _use_fine_buckets() -> bool:
+    """Quarter-pow2 length buckets on the CPU backend: the DP cost there is
+    compute-bound, so padding a 1.1 kb read to 2048 wastes ~45% of the
+    band rows. On TPU the pow2 ladder stays — launches are dispatch-bound
+    and each extra shape is a 40-120 s tunnel compile."""
+    global _FINE_BUCKETS
+    if _FINE_BUCKETS is None:
+        import os
+
+        env = os.environ.get("AMIRA_TPU_FINE_BUCKETS")
+        if env is not None:
+            _FINE_BUCKETS = env not in ("0", "false", "")
+        else:
+            _FINE_BUCKETS = jax.devices()[0].platform == "cpu"
+    return _FINE_BUCKETS
+
+
 def _bucket(n: int, minimum: int = 64) -> int:
     b = minimum
     while b < n:
         b *= 2
+    if b > minimum and _use_fine_buckets():
+        step = b // 4
+        return ((n + step - 1) // step) * step
     return b
 
 

@@ -121,6 +121,50 @@ def grouped_scaled_hash_sets(
 
 
 _EMPTY_U64 = np.zeros(0, dtype=np.uint64)
+_EMPTY_I64 = np.zeros(0, dtype=np.int64)
+
+
+def read_kept_kmer_index(seq: str, ksize: int = 11, scaled: int = 10):
+    """(window_positions, hashes) of the RETAINED canonical k-mers of one
+    sequence, sorted by position.
+
+    Lets a caller sketch any subsequence span [s, e] with two searchsorted
+    lookups instead of re-hashing the slice: the windows of seq[s:e+1] are
+    exactly the windows of seq at positions s..e-ksize+1 (same bases, same
+    validity), so the span's retained-hash multiset is hashes[lo:hi] with
+    lo = first position >= s, hi = first position > e-ksize+1. Sequences
+    are immutable for a pipeline run, so one index per read serves every
+    node sketch of every cleaning iteration."""
+    codes = encode_dna(seq)
+    n = len(codes) - ksize + 1
+    if n <= 0:
+        return _EMPTY_I64, _EMPTY_U64
+    bad = codes >= 4
+    cs = np.zeros(len(codes) + 1, np.int64)
+    np.cumsum(bad, out=cs[1:])
+    valid = (cs[ksize:] - cs[:-ksize]) == 0
+    cc = np.where(bad, 0, codes).astype(np.uint64)
+    fwd = np.zeros(n, dtype=np.uint64)
+    rc = np.zeros(n, dtype=np.uint64)
+    for j in range(ksize):
+        sl = cc[j : j + n]
+        fwd |= sl << np.uint64(2 * (ksize - 1 - j))
+        rc |= (np.uint64(3) - sl) << np.uint64(2 * j)
+    h = _splitmix64_np(np.minimum(fwd, rc))
+    keep = valid
+    if scaled > 1:
+        keep = keep & (h < np.uint64(2**64 // scaled))
+    pos = np.nonzero(keep)[0].astype(np.int64)
+    return pos, h[pos]
+
+
+def span_hashes(index, s: int, e: int, ksize: int = 11) -> np.ndarray:
+    """Retained hashes of the subsequence [s, e] (inclusive) from a
+    read_kept_kmer_index — identical to hashing seq[s:e+1] directly."""
+    pos, hashes = index
+    lo = np.searchsorted(pos, s, side="left")
+    hi = np.searchsorted(pos, e - ksize + 1, side="right")
+    return hashes[lo:hi]
 
 
 class MinHash:

@@ -35,14 +35,16 @@ def main():
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from synthetic import make_isolate
 
-    # genome: 400 single-copy genes; amrX at two loci (multi-copy
+    # genome: ~4000 single-copy genes (E. coli-like gene count, so 500k
+    # reads ~= 1900x per-gene depth — the right order for the reference's
+    # subsample ceiling on a real isolate); amrX at two loci (multi-copy
     # separation work), amrY at one; reads span 10-20 genes
     layout = []
-    for i in range(400):
+    for i in range(4000):
         layout.append(f"gene{i}")
-        if i in (50, 290):
+        if i in (500, 2900):
             layout.append("amrX")
-        if i == 170:
+        if i == 1700:
             layout.append("amrY")
 
     os.makedirs(args.workdir, exist_ok=True)

@@ -143,3 +143,25 @@ def test_grouped_scaled_hash_sets_matches_minhash():
                 if gi == g:
                     mh.add_sequence(s)
             assert set(got[g].tolist()) == mh.hashes, (g, ksize, scaled)
+
+
+def test_read_kmer_index_span_lookup_matches_minhash():
+    """span_hashes over a per-read retained-k-mer index equals hashing the
+    slice directly (windows, validity, and scaled filter all identical)."""
+    import numpy as np
+
+    from amira_tpu.sketch import (
+        MinHash,
+        read_kept_kmer_index,
+        span_hashes,
+    )
+
+    rng = np.random.RandomState(7)
+    bases = np.array(list("ACGTN"))
+    seq = "".join(rng.choice(bases, size=3000, p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+    idx = read_kept_kmer_index(seq, ksize=11, scaled=10)
+    for s, e in [(0, 2999), (5, 400), (100, 110), (2990, 2999), (17, 17), (250, 1800)]:
+        mh = MinHash(ksize=11, scaled=10)
+        mh.add_sequence(seq[s : e + 1])
+        got = set(span_hashes(idx, s, e, ksize=11).tolist())
+        assert got == mh.hashes, (s, e)
