@@ -52,11 +52,24 @@ def find_paths_to_junctions(graph, start_hash, start_dir, junctions, distance):
     results: dict = {}
     nodes = graph.get_nodes()
     edges = graph.get_edges()
-    stack = [(start_hash, start_dir, [(start_hash, start_dir)], {start_hash})]
+    # explicit-backtrack DFS: one shared path list + on-path set, copied
+    # only when a path is recorded (the naive per-push path/set copies were
+    # the sweep's dominant allocation cost)
+    path: list = []
+    seen: set = set()
+    _POP = object()
+    stack = [(start_hash, start_dir)]
     while stack:
-        h, d, path, seen = stack.pop()
+        item = stack.pop()
+        if item is _POP:
+            seen.discard(path.pop()[0])
+            continue
+        h, d = item
+        path.append((h, d))
+        seen.add(h)
+        stack.append(_POP)
         if h != start_hash and h in junctions and len(path) <= distance:
-            results.setdefault(h, []).append(path)
+            results.setdefault(h, []).append(list(path))
         if len(path) - 1 > distance:
             continue
         node = nodes.get(h)
@@ -68,9 +81,7 @@ def find_paths_to_junctions(graph, start_hash, start_dir, junctions, distance):
             nxt = edge.tgt
             if nxt in seen:
                 continue
-            stack.append(
-                (nxt, edge.tgt_dir, path + [(nxt, edge.tgt_dir)], seen | {nxt})
-            )
+            stack.append((nxt, edge.tgt_dir))
     return results
 
 

@@ -95,7 +95,11 @@ def _compact_count_kernel(sorted_codes, boundary, run_counts, C: int):
 
 def _host_canonical_codes(codes: np.ndarray, k: int) -> np.ndarray:
     """Valid canonical window codes, vectorized numpy (same values as
-    _kmer_codes_kernel, invalid windows dropped)."""
+    _kmer_codes_kernel, invalid windows dropped).
+
+    Window codes are built by length doubling — f_{w+v}[i] = f_w[i] << 2v
+    | f_v[i+w] — so k=15 takes ~7 O(N) passes instead of 15 (this runs
+    over the ENTIRE read set for copy-number estimation)."""
     n = len(codes) - k + 1
     if n <= 0:
         return np.zeros(0, dtype=np.uint32)
@@ -104,12 +108,52 @@ def _host_canonical_codes(codes: np.ndarray, k: int) -> np.ndarray:
     np.cumsum(bad, out=cs[1:])
     valid = (cs[k:] - cs[:-k]) == 0
     cc = np.where(bad, 0, codes).astype(np.uint32)
-    fwd = np.zeros(n, dtype=np.uint32)
-    rc = np.zeros(n, dtype=np.uint32)
-    for j in range(k):
-        bj = cc[j : j + n]
-        fwd = (fwd << np.uint32(2)) | bj
-        rc = rc | (((np.uint32(3) - bj) & np.uint32(3)) << np.uint32(2 * j))
+    rc1 = (np.uint32(3) - cc) & np.uint32(3)
+
+    def window_codes(base):
+        # powers[p] = codes of windows of length 2^p (truncated arrays)
+        pw, plen = [base], [1]
+        while plen[-1] * 2 <= k:
+            w = plen[-1]
+            prev = pw[-1]
+            pw.append((prev[: len(prev) - w] << np.uint32(2 * w)) | prev[w:])
+            plen.append(2 * w)
+        acc, alen = None, 0
+        for p in range(len(pw) - 1, -1, -1):
+            if alen + plen[p] <= k:
+                piece = pw[p]
+                if acc is None:
+                    acc, alen = piece, plen[p]
+                else:
+                    acc = (
+                        acc[: len(acc) - plen[p]] << np.uint32(2 * plen[p])
+                    ) | piece[alen:]
+                    alen += plen[p]
+        return acc[:n]
+
+    fwd = window_codes(cc)
+    # rc code of window [i, i+k): sum_j (3-c[i+j]) << 2j = the forward
+    # composition of rc1 with the shift roles swapped — compute via the
+    # same doubling on rc1 but composing in reversed significance
+    rcp, rlen = [rc1], [1]
+    while rlen[-1] * 2 <= k:
+        w = rlen[-1]
+        prev = rcp[-1]
+        # reversed significance: later positions take HIGHER bits
+        rcp.append(prev[: len(prev) - w] | (prev[w:] << np.uint32(2 * w)))
+        rlen.append(2 * w)
+    acc, alen = None, 0
+    for p in range(len(rcp) - 1, -1, -1):
+        if alen + rlen[p] <= k:
+            piece = rcp[p]
+            if acc is None:
+                acc, alen = piece, rlen[p]
+            else:
+                acc = acc[: len(acc) - rlen[p]] | (
+                    piece[alen:] << np.uint32(2 * alen)
+                )
+                alen += rlen[p]
+    rc = acc[:n]
     return np.minimum(fwd, rc)[valid]
 
 

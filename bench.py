@@ -79,11 +79,15 @@ def _load_reads():
 
 def _perturb(reads, positions, rng):
     """Simulate one cleaning iteration's extra read churn: re-thread ~2% of
-    reads (drop one gene and flip one strand), keeping positions aligned."""
+    reads (drop one gene and flip one strand), keeping positions aligned.
+    Cleaning can legitimately empty a read's gene list (bubble corrections
+    + junk trimming) — those reads are skipped, not perturbed."""
     ids = rng.sample(list(reads.keys()), max(1, int(len(reads) * CHURN)))
     for rid in ids:
         genes = list(reads[rid])
         pos = list(positions[rid])
+        if not genes:
+            continue
         if len(genes) > 4:
             j = rng.randrange(len(genes))
             del genes[j]
