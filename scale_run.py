@@ -25,6 +25,15 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--workdir", default="/tmp/amira_scale")
     ap.add_argument("--report", default=None)
+    ap.add_argument(
+        "--reuse", action="store_true",
+        help="skip generation when the workdir already holds the isolate "
+        "(generated earlier with the same --reads/--workdir)",
+    )
+    ap.add_argument(
+        "--generate-only", action="store_true",
+        help="generate the isolate and exit (pre-generation in background)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -49,20 +58,42 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     t0 = time.time()
-    sys.stderr.write(f"[scale] generating {args.reads} reads...\n")
-    files = make_isolate(
-        args.workdir,
-        seed=17,
-        n_reads=args.reads,
-        layout=layout,
-        amr_genes=("amrX", "amrY"),
-        genes_per_read=(10, 20),
-        gene_len=400,
-        fast=True,
-        call_noise=0.05,
-    )
-    gen_s = time.time() - t0
-    sys.stderr.write(f"[scale] generated in {gen_s:.0f}s\n")
+    marker = os.path.join(args.workdir, f".generated_{args.reads}")
+    if args.reuse and os.path.exists(marker):
+        files = {
+            name: os.path.join(args.workdir, fn)
+            for name, fn in (
+                ("calls", "calls.json"),
+                ("positions", "positions.json"),
+                ("fastq", "reads.fastq.gz"),
+                ("amr_fasta", "AMR_alleles_unified.fa"),
+                ("amr_calls", "AMR_calls.json"),
+                ("core_genes", "core_genes.txt"),
+                ("plasmid_genes", "plasmid_genes.txt"),
+            )
+        }
+        gen_s = 0.0
+        sys.stderr.write("[scale] reusing generated isolate\n")
+    else:
+        sys.stderr.write(f"[scale] generating {args.reads} reads...\n")
+        files = make_isolate(
+            args.workdir,
+            seed=17,
+            n_reads=args.reads,
+            layout=layout,
+            amr_genes=("amrX", "amrY"),
+            genes_per_read=(10, 20),
+            gene_len=400,
+            fast=True,
+            call_noise=0.05,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+        gen_s = time.time() - t0
+        sys.stderr.write(f"[scale] generated in {gen_s:.0f}s\n")
+    if args.generate_only:
+        sys.stderr.write("[scale] generate-only: done\n")
+        return
 
     from amira_tpu.__main__ import main as amira_main
 
