@@ -161,6 +161,7 @@ def _host_canonical_codes(codes: np.ndarray, k: int) -> np.ndarray:
 # XLA sort lose to a host numpy sort (and through the remote-TPU tunnel the
 # transfer alone is prohibitive); identical counts either way
 _HOST_SORT_THRESHOLD = 1 << 25
+_HOST_COUNT_CHUNK = 1 << 27
 
 
 def _use_host_count(n: int) -> bool:
@@ -185,11 +186,48 @@ class KmerCounter:
         if len(codes) < k:
             return self
         if _use_host_count(len(codes)):
-            wc = _host_canonical_codes(codes, k)
-            if len(wc) == 0:
+            # chunked: the doubling-code temporaries are ~10x the chunk
+            # size, so bound the chunk (gigabase inputs would otherwise
+            # need tens of GB); per-chunk unique tables merge by sorted
+            # run-length sum. Chunks split at separator boundaries so no
+            # window spans two chunks.
+            CHUNK = _HOST_COUNT_CHUNK
+            parts_k, parts_c = [], []
+            start = 0
+            n = len(codes)
+            while start < n:
+                end = min(start + CHUNK, n)
+                if end < n:
+                    # codes[end-1] may be mid-sequence: back up to the last
+                    # separator so windows stay intact
+                    seps = np.nonzero(codes[start:end] == _SENTINEL)[0]
+                    if len(seps) == 0:
+                        end = min(start + 2 * CHUNK, n)  # huge single seq
+                    else:
+                        end = start + int(seps[-1]) + 1
+                wc = _host_canonical_codes(codes[start:end], k)
+                if len(wc):
+                    uk, uc = np.unique(wc, return_counts=True)
+                    parts_k.append(uk)
+                    parts_c.append(uc.astype(np.int64))
+                start = end
+            if not parts_k:
                 return self
-            kmers, counts = np.unique(wc, return_counts=True)
-            counts = counts.astype(np.int64)
+            if len(parts_k) == 1:
+                kmers, counts = parts_k[0], parts_c[0]
+            else:
+                allk = np.concatenate(parts_k)
+                allc = np.concatenate(parts_c)
+                order = np.argsort(allk, kind="stable")
+                allk, allc = allk[order], allc[order]
+                boundary = np.concatenate(
+                    [[True], allk[1:] != allk[:-1]]
+                )
+                idx = np.nonzero(boundary)[0]
+                kmers = allk[idx]
+                sums = np.zeros(len(allk) + 1, np.int64)
+                np.cumsum(allc, out=sums[1:])
+                counts = sums[np.append(idx[1:], len(allk))] - sums[idx]
             if min_count > 0:
                 keep = counts >= min_count
                 kmers, counts = kmers[keep], counts[keep]

@@ -395,7 +395,10 @@ def main():
         return _run_bench()
     env = dict(os.environ, AMIRA_TPU_BENCH_STAGE="run")
     try:
-        r = subprocess.run([sys.executable, __file__], env=env, timeout=2400)
+        # generous budget: a cold tunnel re-compiles every cleaning-cycle
+        # shape (40-120 s each) before the measurement even starts, and a
+        # timeout here demotes the whole bench to the CPU fallback numbers
+        r = subprocess.run([sys.executable, __file__], env=env, timeout=3300)
         if r.returncode == 0:
             return
     except subprocess.TimeoutExpired:

@@ -188,3 +188,34 @@ def test_kmer_host_path_matches_device_path():
     assert np.array_equal(dev.kmers, host.kmers)
     assert np.array_equal(dev.counts, host.counts)
     assert np.array_equal(np.asarray(q_dev), np.asarray(q_host))
+
+
+def test_kmer_host_chunked_count_matches_unchunked():
+    """Separator-aligned chunking of the host count path merges per-chunk
+    tables into the identical global table."""
+    import numpy as np
+
+    from amira_tpu.ops import kmer as K
+
+    rng = np.random.RandomState(21)
+    bases = np.array(list("ACGTN"))
+    seqs = [
+        "".join(rng.choice(bases, size=int(rng.randint(20, 900)),
+                           p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        for _ in range(80)
+    ]
+    old_t, old_c = K._HOST_SORT_THRESHOLD, K._HOST_COUNT_CHUNK
+    try:
+        K._HOST_SORT_THRESHOLD = 1
+        K._HOST_COUNT_CHUNK = 1 << 30
+        one = K.KmerCounter.from_sequences(seqs, 15)
+        K._HOST_COUNT_CHUNK = 2048  # force many chunks
+        many = K.KmerCounter.from_sequences(seqs, 15)
+        K._HOST_COUNT_CHUNK = 2048
+        many_min = K.KmerCounter.from_sequences(seqs, 15, min_count=3)
+    finally:
+        K._HOST_SORT_THRESHOLD, K._HOST_COUNT_CHUNK = old_t, old_c
+    assert np.array_equal(one.kmers, many.kmers)
+    assert np.array_equal(one.counts, many.counts)
+    keep = one.counts >= 3
+    assert np.array_equal(one.kmers[keep], many_min.kmers)

@@ -183,3 +183,26 @@ def test_noisy_structural_deletion():
     assert long_d, "deletion not stitched"
     assert aln.r_end - aln.r_start >= 2700
     _check_consistent(aln)
+
+
+def test_bucket_properties():
+    """Buckets always cover n, are monotonic, and the CPU fine ladder
+    quarters the pow2 steps above the minimum."""
+    from amira_tpu.ops import align as A
+
+    old = A._FINE_BUCKETS
+    try:
+        for fine in (False, True):
+            A._FINE_BUCKETS = fine
+            prev = 0
+            for n in [1, 63, 64, 65, 100, 255, 256, 257, 1000, 1100, 2047, 2048, 5000]:
+                b = A._bucket(n)
+                assert b >= n
+                assert b >= prev or n <= prev
+                prev = b
+            if fine:
+                assert A._bucket(1100) == 1536  # quarter-step of 2048
+            else:
+                assert A._bucket(1100) == 2048
+    finally:
+        A._FINE_BUCKETS = old
