@@ -162,6 +162,9 @@ def _host_canonical_codes(codes: np.ndarray, k: int) -> np.ndarray:
 # transfer alone is prohibitive); identical counts either way
 _HOST_SORT_THRESHOLD = 1 << 25
 _HOST_COUNT_CHUNK = 1 << 27
+# above this many codes the dense-bincount counter (8 GB table for k=15)
+# pays for itself vs per-chunk sorting
+_HOST_BINCOUNT_MIN = 1 << 28
 
 
 def _use_host_count(n: int) -> bool:
@@ -192,9 +195,11 @@ class KmerCounter:
             # run-length sum. Chunks split at separator boundaries so no
             # window spans two chunks.
             CHUNK = _HOST_COUNT_CHUNK
+            n = len(codes)
+            use_bincount = n >= _HOST_BINCOUNT_MIN and 4**k <= 1 << 30
+            table = np.zeros(4**k, dtype=np.int64) if use_bincount else None
             parts_k, parts_c = [], []
             start = 0
-            n = len(codes)
             while start < n:
                 end = min(start + CHUNK, n)
                 if end < n:
@@ -207,13 +212,22 @@ class KmerCounter:
                         end = start + int(seps[-1]) + 1
                 wc = _host_canonical_codes(codes[start:end], k)
                 if len(wc):
-                    uk, uc = np.unique(wc, return_counts=True)
-                    parts_k.append(uk)
-                    parts_c.append(uc.astype(np.int64))
+                    if use_bincount:
+                        # gigabase inputs: one O(N) scatter into the dense
+                        # 4^k table beats sorting every chunk (k <= 15 so
+                        # the table is at most 2^30 bins)
+                        table += np.bincount(wc, minlength=4**k)
+                    else:
+                        uk, uc = np.unique(wc, return_counts=True)
+                        parts_k.append(uk)
+                        parts_c.append(uc.astype(np.int64))
                 start = end
-            if not parts_k:
+            if use_bincount:
+                kmers = np.nonzero(table)[0].astype(np.uint32)
+                counts = table[kmers.astype(np.int64)]
+            elif not parts_k:
                 return self
-            if len(parts_k) == 1:
+            elif len(parts_k) == 1:
                 kmers, counts = parts_k[0], parts_c[0]
             else:
                 allk = np.concatenate(parts_k)
@@ -228,6 +242,8 @@ class KmerCounter:
                 sums = np.zeros(len(allk) + 1, np.int64)
                 np.cumsum(allc, out=sums[1:])
                 counts = sums[np.append(idx[1:], len(allk))] - sums[idx]
+            if len(kmers) == 0:
+                return self
             if min_count > 0:
                 keep = counts >= min_count
                 kmers, counts = kmers[keep], counts[keep]

@@ -145,7 +145,8 @@ def main():
 
 Synthetic isolate at the reference's subsample ceiling
 (`/root/reference/amira/__main__.py:136-142`): **{args.reads:,} reads**,
-403-gene genome, amrX at two genomic loci + amrY, 10-20 genes/read,
+{len(layout):,}-slot genome (E. coli-like gene count), amrX at two genomic
+loci + amrY, 10-20 genes/read,
 5% pandora-style call noise (drops/strand flips), 2%/1% sub/indel
 sequence error. Generated in {gen_s:.0f}s (vectorized simulator,
 tests/synthetic.py:mutate_fast).

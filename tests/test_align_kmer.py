@@ -219,3 +219,34 @@ def test_kmer_host_chunked_count_matches_unchunked():
     assert np.array_equal(one.counts, many.counts)
     keep = one.counts >= 3
     assert np.array_equal(one.kmers[keep], many_min.kmers)
+
+
+def test_kmer_host_bincount_matches_sort_path():
+    """The dense-bincount counter (large inputs) produces the same table as
+    the chunked sort path."""
+    import numpy as np
+
+    from amira_tpu.ops import kmer as K
+
+    rng = np.random.RandomState(33)
+    bases = np.array(list("ACGTN"))
+    seqs = [
+        "".join(rng.choice(bases, size=int(rng.randint(30, 500)),
+                           p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        for _ in range(60)
+    ]
+    old = (K._HOST_SORT_THRESHOLD, K._HOST_COUNT_CHUNK, K._HOST_BINCOUNT_MIN)
+    try:
+        K._HOST_SORT_THRESHOLD = 1
+        K._HOST_COUNT_CHUNK = 4096
+        K._HOST_BINCOUNT_MIN = 1 << 60  # sort path
+        srt = K.KmerCounter.from_sequences(seqs, 11)
+        K._HOST_BINCOUNT_MIN = 1  # bincount path
+        bc = K.KmerCounter.from_sequences(seqs, 11)
+        bc_min = K.KmerCounter.from_sequences(seqs, 11, min_count=2)
+    finally:
+        (K._HOST_SORT_THRESHOLD, K._HOST_COUNT_CHUNK, K._HOST_BINCOUNT_MIN) = old
+    assert np.array_equal(srt.kmers, bc.kmers)
+    assert np.array_equal(srt.counts, bc.counts)
+    keep = srt.counts >= 2
+    assert np.array_equal(srt.kmers[keep], bc_min.kmers)
