@@ -203,10 +203,169 @@ def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
     return tb, best, bi, bw, bs
 
 
-_batched_sw = jax.jit(
-    jax.vmap(_banded_sw_kernel, in_axes=(0, 0, 0, 0, None)),
-    static_argnums=(4,),
-)
+def _preshift_refs(rs_padded, dlos, Lq: int, W: int):
+    """Gather each lane's band-relevant reference window ONCE so every DP row
+    can slice it at a UNIFORM index: rsh[b, t] = rs_padded[b, t+dlo[b]+W+Lq]
+    for t in [0, Lq + W). Row i's band chars are then rsh[:, i : i + W] — a
+    batch-independent dynamic slice, which XLA lowers as a cheap strided load
+    instead of the per-row per-lane gather that dominated the vmapped kernel
+    (~10x the whole-DP cost on v5e)."""
+    t_idx = jnp.arange(Lq + W, dtype=jnp.int32)
+    gidx = dlos[:, None].astype(jnp.int32) + t_idx[None, :] + W + Lq
+    return jnp.take_along_axis(rs_padded, gidx, axis=1)
+
+
+def _banded_sw_batch_core(qs, rsh, qlens, W: int):
+    """Batch-major banded SW: carries are (B, W) matrices (band minor, batch
+    on sublanes), bit-identical to vmapping `_banded_sw_kernel` over the
+    batch (pinned by tests/test_device_traceback.py) but ~10x faster on TPU
+    because the per-row reference window load is a uniform slice of the
+    pre-shifted `rsh` (see _preshift_refs).
+
+    Returns (tb, best, bi, bw, bs) with tb in scan-major (Lq, B, W) layout.
+    """
+    B, Lq = qs.shape
+    neg = jnp.int32(NEG)
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+
+    def _shift_up(x):
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full((B, 1), neg, jnp.int32)], axis=1
+        )
+
+    def _shift_left(x):
+        return jnp.concatenate(
+            [jnp.full((B, 1), neg, jnp.int32), x[:, :-1]], axis=1
+        )
+
+    def row(carry, i):
+        M_prev, I_prev, D_prev, I2_prev, D2_prev, best, bi, bw, bs = carry
+        qc = jax.lax.dynamic_slice_in_dim(qs, i, 1, axis=1)
+        rwin = jax.lax.dynamic_slice_in_dim(rsh, i, W, axis=1)
+        # left pad of rs_padded is all 4s, so j < 0 lands on code 4 too:
+        # one mask covers both out-of-ref conditions
+        in_ref = rwin != 4
+        s = jnp.where(rwin == qc, MATCH, MISMATCH)
+        gap_best = jnp.maximum(
+            jnp.maximum(I_prev, D_prev), jnp.maximum(I2_prev, D2_prev)
+        )
+        prev_best = jnp.maximum(M_prev, gap_best)
+        m_pred = jnp.where(
+            M_prev >= gap_best,
+            1,
+            jnp.where(
+                I_prev >= jnp.maximum(D_prev, jnp.maximum(I2_prev, D2_prev)),
+                2,
+                jnp.where(
+                    D_prev >= jnp.maximum(I2_prev, D2_prev),
+                    3,
+                    jnp.where(I2_prev >= D2_prev, 4, 5),
+                ),
+            ),
+        ).astype(jnp.uint8)
+        M_diag = jnp.maximum(prev_best, 0) + s
+        M_cur = jnp.maximum(0, M_diag)
+        m_bits = jnp.where((M_diag > 0) & (prev_best > 0), m_pred, 0).astype(
+            jnp.uint8
+        )
+        M_cur = jnp.where(in_ref, M_cur, neg)
+        M_up = _shift_up(M_prev)
+        I_up = _shift_up(I_prev)
+        I2_up = _shift_up(I2_prev)
+        I_open = M_up - GAP_OPEN
+        I_ext = I_up - GAP_EXT
+        I_cur = jnp.maximum(I_open, I_ext)
+        i_bits = (I_ext >= I_open).astype(jnp.uint8) << 3
+        I_cur = jnp.where(in_ref, I_cur, neg)
+        I2_open = M_up - GAP_OPEN2
+        I2_ext = I2_up - GAP_EXT2
+        I2_cur = jnp.maximum(I2_open, I2_ext)
+        i2_bits = (I2_ext >= I2_open).astype(jnp.uint8) << 5
+        I2_cur = jnp.where(in_ref, I2_cur, neg)
+        A = M_cur + w_idx[None, :] * GAP_EXT
+        A_shift = _shift_left(jax.lax.cummax(A, axis=1))
+        D_cur = jnp.maximum(
+            A_shift - GAP_OPEN - (w_idx[None, :] - 1) * GAP_EXT, neg
+        )
+        D_left = _shift_left(D_cur)
+        M_left = _shift_left(M_cur)
+        d_bits = (
+            (D_left - GAP_EXT) >= (M_left - GAP_OPEN)
+        ).astype(jnp.uint8) << 4
+        D_cur = jnp.where(in_ref, D_cur, neg)
+        A2 = M_cur + w_idx[None, :] * GAP_EXT2
+        A2_shift = _shift_left(jax.lax.cummax(A2, axis=1))
+        D2_cur = jnp.maximum(
+            A2_shift - GAP_OPEN2 - (w_idx[None, :] - 1) * GAP_EXT2, neg
+        )
+        D2_left = _shift_left(D2_cur)
+        d2_bits = (
+            (D2_left - GAP_EXT2) >= (M_left - GAP_OPEN2)
+        ).astype(jnp.uint8) << 6
+        D2_cur = jnp.where(in_ref, D2_cur, neg)
+        live = i < qlens[:, None]
+        M_cur = jnp.where(live, M_cur, neg)
+        I_cur = jnp.where(live, I_cur, neg)
+        D_cur = jnp.where(live, D_cur, neg)
+        I2_cur = jnp.where(live, I2_cur, neg)
+        D2_cur = jnp.where(live, D2_cur, neg)
+        tb_row = m_bits | i_bits | d_bits | i2_bits | d2_bits
+        gap_cur = jnp.maximum(
+            jnp.maximum(I_cur, D_cur), jnp.maximum(I2_cur, D2_cur)
+        )
+        row_best_state = jnp.where(
+            M_cur >= gap_cur,
+            0,
+            jnp.where(
+                I_cur >= jnp.maximum(D_cur, jnp.maximum(I2_cur, D2_cur)),
+                1,
+                jnp.where(
+                    D_cur >= jnp.maximum(I2_cur, D2_cur),
+                    2,
+                    jnp.where(I2_cur >= D2_cur, 3, 4),
+                ),
+            ),
+        )
+        row_vals = jnp.maximum(M_cur, gap_cur)
+        rw = jnp.argmax(row_vals, axis=1)
+        rv = jnp.take_along_axis(row_vals, rw[:, None], axis=1)[:, 0]
+        upd = rv > best
+        best = jnp.where(upd, rv, best)
+        bi = jnp.where(upd, i, bi)
+        bw = jnp.where(upd, rw.astype(jnp.int32), bw)
+        bs = jnp.where(
+            upd,
+            jnp.take_along_axis(row_best_state, rw[:, None], axis=1)[:, 0],
+            bs,
+        )
+        return (
+            M_cur, I_cur, D_cur, I2_cur, D2_cur, best, bi, bw, bs
+        ), tb_row
+
+    init = (
+        jnp.zeros((B, W), jnp.int32),
+        jnp.full((B, W), neg, jnp.int32),
+        jnp.full((B, W), neg, jnp.int32),
+        jnp.full((B, W), neg, jnp.int32),
+        jnp.full((B, W), neg, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+    )
+    (_M, _I, _D, _I2, _D2, best, bi, bw, bs), tb = jax.lax.scan(
+        row, init, jnp.arange(Lq, dtype=jnp.int32)
+    )
+    return tb, best, bi, bw, bs
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _batched_sw(qs, rs_padded, qlens, dlos, W: int):
+    """Batched DP returning tb in the legacy (B, Lq, W) layout (host
+    traceback + experimental-engine comparisons)."""
+    rsh = _preshift_refs(rs_padded, dlos, qs.shape[1], W)
+    tb, best, bi, bw, bs = _banded_sw_batch_core(qs, rsh, qlens, W)
+    return tb.transpose(1, 0, 2), best, bi, bw, bs
 
 
 # Device traceback: op codes (2 bits each, packed 4-per-byte for transfer)
@@ -297,16 +456,95 @@ def _traceback_device_single(tb, q, r_padded, best, bi, bw, bs, dlo, W: int):
     return packed, n_steps, q_start, r_start
 
 
+def _traceback_batch(tb, qs, rsh, best, bi, bw, bs, W: int):
+    """Batch-major traceback over the scan-major (Lq, B, W) band matrix —
+    per step ONE flat B-point gather instead of a per-lane 2D gather.
+    Bit-identical op sequences to `_traceback_device_single` for every lane
+    with a positive best score (garbage lanes may read different padding)."""
+    B, Lq = qs.shape
+    LW = rsh.shape[1]
+    S = _tb_steps(Lq, W)
+    pred_state = jnp.array([0, 0, 1, 2, 3, 4, 0, 0], dtype=jnp.int32)
+    lane = jnp.arange(B, dtype=jnp.int32)
+    tb_flat = tb.reshape(-1)
+    qs_flat = qs.reshape(-1)
+    rsh_flat = rsh.reshape(-1)
+
+    def step(carry, _):
+        i, w, state, done, n = carry
+        live = jnp.logical_and(jnp.logical_not(done), i >= 0)
+        ic = jnp.clip(i, 0, Lq - 1)
+        wc = jnp.clip(w, 0, W - 1)
+        byte = jnp.take(tb_flat, (ic * B + lane) * W + wc).astype(jnp.int32)
+        rchar = jnp.take(rsh_flat, lane * LW + jnp.clip(ic + wc, 0, LW - 1))
+        qchar = jnp.take(qs_flat, lane * Lq + ic)
+        m_op = jnp.where(qchar == rchar, _OP_EQ, _OP_X).astype(jnp.int32)
+        pred = byte & 7
+        is_m = state == 0
+        is_i = state == 1
+        is_d = state == 2
+        is_i2 = state == 3
+        op = jnp.where(
+            is_m, m_op, jnp.where(jnp.logical_or(is_i, is_i2), _OP_I, _OP_D)
+        )
+        ext = jnp.where(
+            is_i,
+            (byte >> 3) & 1,
+            jnp.where(
+                is_d,
+                (byte >> 4) & 1,
+                jnp.where(is_i2, (byte >> 5) & 1, (byte >> 6) & 1),
+            ),
+        )
+        gap_state = jnp.where(ext == 1, state, 0)
+        nstate = jnp.where(is_m, pred_state[pred], gap_state)
+        di = jnp.where(
+            jnp.logical_or(is_m, jnp.logical_or(is_i, is_i2)), 1, 0
+        )
+        dw = jnp.where(
+            jnp.logical_or(is_i, is_i2),
+            1,
+            jnp.where(jnp.logical_or(is_d, state == 4), -1, 0),
+        )
+        ndone = jnp.logical_or(done, jnp.logical_and(is_m, pred == 0))
+        i = jnp.where(live, i - di, i)
+        w = jnp.where(live, w + dw, w)
+        state = jnp.where(live, nstate, state)
+        done = jnp.where(live, ndone, done)
+        n = n + jnp.where(live, 1, 0).astype(jnp.int32)
+        op_out = jnp.where(live, op, 0).astype(jnp.uint8)
+        return (i, w, state, done, n), op_out
+
+    init = (
+        bi.astype(jnp.int32),
+        bw.astype(jnp.int32),
+        bs.astype(jnp.int32),
+        jnp.logical_or(bi < 0, best <= 0),
+        jnp.zeros((B,), jnp.int32),
+    )
+    (fi, fw, _fs, _fd, n_steps), ops = jax.lax.scan(
+        step, init, None, length=S
+    )
+    q_start = fi + 1
+    shifts = jnp.arange(0, 8, 2, dtype=jnp.int32)
+    packed = jnp.sum(
+        ops.transpose(1, 0).reshape(B, S // 4, 4).astype(jnp.int32)
+        << shifts[None, None, :],
+        axis=2,
+    ).astype(jnp.uint8)
+    return packed, n_steps, q_start, fw
+
+
 @partial(jax.jit, static_argnames=("W",))
 def _batched_sw_cigar(qs, rs, qlens, dlos, W: int):
     """Fused DP + traceback: the band matrix never leaves the device; only
     2-bit-packed op sequences (plus endpoints) transfer to host."""
-    tb, best, bi, bw, bs = jax.vmap(
-        _banded_sw_kernel, in_axes=(0, 0, 0, 0, None)
-    )(qs, rs, qlens, dlos, W)
-    packed, n_steps, q0, r0 = jax.vmap(
-        _traceback_device_single, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
-    )(tb, qs, rs, best, bi, bw, bs, dlos, W)
+    rsh = _preshift_refs(rs, dlos, qs.shape[1], W)
+    tb, best, bi, bw, bs = _banded_sw_batch_core(qs, rsh, qlens, W)
+    packed, n_steps, q0, fw = _traceback_batch(
+        tb, qs, rsh, best, bi, bw, bs, W
+    )
+    r0 = q0 + dlos.astype(jnp.int32) + fw
     return packed, n_steps, q0, r0, best, bi, bw
 
 

@@ -157,9 +157,9 @@ def _host_canonical_codes(codes: np.ndarray, k: int) -> np.ndarray:
     return np.minimum(fwd, rc)[valid]
 
 
-# above this many base codes, the device path's whole-buffer transfer and
-# XLA sort lose to a host numpy sort (and through the remote-TPU tunnel the
-# transfer alone is prohibitive); identical counts either way
+# above this many base codes, the per-window device sort path's whole-buffer
+# transfer and XLA sort lose to either the host numpy sort or the dense
+# device counter; identical counts every way
 _HOST_SORT_THRESHOLD = 1 << 25
 _HOST_COUNT_CHUNK = 1 << 27
 # above this many codes the dense-bincount counter (8 GB table for k=15)
@@ -173,6 +173,146 @@ def _use_host_count(n: int) -> bool:
     return jax.devices()[0].platform == "cpu" and n > (1 << 20)
 
 
+# ------------------------------------------- dense device counter (gigabase)
+#
+# The jellyfish-replacement path for large read sets: a dense (4^k + 1)-bin
+# uint32 count table RESIDENT IN HBM, filled by chunk-streamed scatter-adds
+# of canonical window codes. Measured on one v5e through the tunnel:
+# scatter-add sustains ~84M updates/s and host->device transfer ~1.2 GB/s,
+# so 3 Gbp counts in ~40 s vs ~1300 s for the chunked host-numpy counter
+# (SCALE_REPORT.md round 3) — and the table never crosses back to the host:
+# histogramming (device sort + run-length), the Poisson-cutoff refilter (one
+# elementwise pass) and per-read-set queries (gathers) all run on device.
+# Replaces `jellyfish count/histo/query` (result_utils.py:1050-1141).
+
+_DENSE_CHUNK = 1 << 26  # codes per streamed chunk (one compiled shape)
+_SCATTER_CODES_PER_SEC = 84e6  # measured v5e scatter-add rate (see above)
+_HOST_CODES_PER_SEC = 2.5e6  # measured 2-core host bincount-counter rate
+_DENSE_FIXED_SEC = 10.0  # histo sorts + dispatch overheads, measured
+
+
+def _pack_codes_2bit(codes: np.ndarray):
+    """Host: pack base codes 16-per-uint32 plus a little-endian invalid
+    bitmask (separators / non-ACGT), so a chunk transfers at 0.375 B/code."""
+    bad = codes > 3
+    c = np.where(bad, 0, codes).astype(np.uint32)
+    pad = (-len(c)) % 16
+    if pad:
+        c = np.concatenate([c, np.zeros(pad, np.uint32)])
+        bad = np.concatenate([bad, np.ones(pad, bool)])
+    words = np.zeros(len(c) // 16, np.uint32)
+    for j in range(16):
+        words |= c[j::16] << np.uint32(2 * j)
+    return words, np.packbits(bad, bitorder="little")
+
+
+@partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+def _dense_count_chunk(table, packed_words, bad_bytes, k: int):
+    """Unpack one chunk, form canonical window codes, scatter-add into the
+    donated dense table. Invalid windows land in the extra slot 4^k."""
+    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+    codes = ((packed_words[:, None] >> shifts[None, :]) & 3).reshape(-1)
+    bshift = jnp.arange(8, dtype=jnp.uint8)
+    bad = (((bad_bytes[:, None] >> bshift[None, :]) & 1) != 0).reshape(-1)
+    n = codes.shape[0] - k + 1
+    fwd = jnp.zeros(n, dtype=jnp.uint32)
+    rc = jnp.zeros(n, dtype=jnp.uint32)
+    valid = jnp.ones(n, dtype=bool)
+    for j in range(k):
+        bj = codes[j : j + n]
+        valid = valid & jnp.logical_not(bad[j : j + n])
+        fwd = (fwd << 2) | bj
+        rc = rc | (((3 - bj) & 3) << (2 * j))
+    canon = jnp.minimum(fwd, rc)
+    idx = jnp.where(valid, canon, jnp.uint32(4**k))
+    return table.at[idx].add(jnp.uint32(1))
+
+
+@partial(jax.jit, static_argnames=("C",))
+def _dense_histo_kernel(table, C: int):
+    """count -> #bins histogram of the dense table via ONE device sort of the
+    bin values + run-length compaction (~3.4 s for 2^30 bins on v5e vs ~13 s
+    for a scatter-based bincount). Zero bins (absent k-mers) are dropped.
+    Returns (values, freqs, n_distinct) with at most C slots."""
+    vals = jnp.sort(table[:-1])
+    nz = vals > 0
+    boundary = nz & jnp.concatenate(
+        [jnp.ones((1,), bool), vals[1:] != vals[:-1]]
+    )
+    run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    N = vals.shape[0]
+    idx = jnp.where(boundary, run_id, C)
+    values = jnp.zeros((C + 1,), jnp.uint32).at[idx].set(
+        jnp.where(boundary, vals, 0)
+    )[:C]
+    # freq of run r = start of run r+1 minus start of run r
+    starts = jnp.zeros((C + 1,), jnp.int64).at[idx].set(
+        jnp.where(boundary, jnp.arange(N, dtype=jnp.int64), 0)
+    )
+    n_distinct = jnp.sum(boundary.astype(jnp.int32))
+    starts = starts.at[jnp.minimum(n_distinct, C)].set(N)
+    freqs = starts[1 : C + 1] - starts[:C]
+    return values, freqs, n_distinct
+
+
+@jax.jit
+def _dense_filter_kernel(table, cutoff):
+    """jellyfish-recount-with--L equivalent: zero every bin below cutoff
+    (the invalid-slot tail bin is zeroed too; it is never queried)."""
+    return jnp.where(table >= cutoff, table, jnp.uint32(0)).at[-1].set(0)
+
+
+_PROBED_TRANSFER_RATE: float | None = None
+
+
+def _probe_transfer_rate() -> float:
+    """Measured host->device bytes/s on a 16 MB buffer (cached). The tunnel
+    to the remote TPU can degrade by orders of magnitude; this probe — not a
+    hardcoded size threshold — decides host vs device counting."""
+    global _PROBED_TRANSFER_RATE
+    if _PROBED_TRANSFER_RATE is None:
+        import time
+
+        buf = np.zeros(1 << 22, np.uint32)
+        jax.device_put(buf[: 1 << 10]).block_until_ready()  # wake the link
+        t0 = time.time()
+        d = jax.device_put(buf)
+        np.asarray(d[0])  # force full materialization device-side
+        dt = max(time.time() - t0, 1e-6)
+        _PROBED_TRANSFER_RATE = buf.nbytes / dt
+    return _PROBED_TRANSFER_RATE
+
+
+def _use_dense_device_count(n_codes: int, k: int) -> bool:
+    """Choose the dense device counter when its projected wall-clock beats
+    the host counter's. Override with AMIRA_TPU_KMER_BACKEND=host|device."""
+    import os
+
+    env = os.environ.get("AMIRA_TPU_KMER_BACKEND")
+    if env == "host":
+        return False
+    if jax.devices()[0].platform == "cpu":
+        # same machine: "transfer" is a copy, the host path wins outright
+        return env == "device"
+    if 4**k + 1 > (1 << 31):
+        return False  # table would not fit HBM
+    if env == "device":
+        return True
+    if n_codes < (1 << 24):
+        return False  # small inputs: the sorted device path handles these
+    try:
+        rate = _probe_transfer_rate()
+    except Exception:  # noqa: BLE001 — a sick tunnel must not kill the run
+        return False
+    device_s = (
+        0.375 * n_codes / max(rate, 1.0)
+        + n_codes / _SCATTER_CODES_PER_SEC
+        + _DENSE_FIXED_SEC
+    )
+    host_s = n_codes / _HOST_CODES_PER_SEC
+    return device_s < host_s
+
+
 class KmerCounter:
     """Canonical k-mer count table over a read set (jellyfish equivalent)."""
 
@@ -181,6 +321,47 @@ class KmerCounter:
         self.k = k
         self.kmers: np.ndarray = np.zeros(0, dtype=np.uint32)
         self.counts: np.ndarray = np.zeros(0, dtype=np.int64)
+        # dense device mode: the whole (4^k + 1)-bin table lives in HBM and
+        # kmers/counts above stay empty (histo/query route through it)
+        self.dense = None
+
+    @classmethod
+    def _from_codes_dense(cls, codes: np.ndarray, k: int, min_count: int):
+        """Dense device counter: chunk-streamed scatter-add (see module
+        comment). Chunks split at separator boundaries so no window spans
+        two chunks; the final short chunk pads with invalid positions."""
+        self = cls(k)
+        table = jnp.zeros(4**k + 1, dtype=jnp.uint32)
+        CH = _DENSE_CHUNK
+        n = len(codes)
+        start = 0
+        while start < n:
+            end = min(start + CH, n)
+            if end < n:
+                seps = np.nonzero(codes[start:end] == _SENTINEL)[0]
+                if len(seps):
+                    end = start + int(seps[-1]) + 1
+            chunk = codes[start:end]
+            if end < n and codes[end - 1] != _SENTINEL:
+                # a single >CH-code sequence forced a mid-sequence cut:
+                # overlap the next chunk by k-1 codes so boundary-spanning
+                # windows count exactly once
+                next_start = end - (k - 1)
+            else:
+                next_start = end
+            if len(chunk) < CH:
+                chunk = np.concatenate(
+                    [chunk, np.full(CH - len(chunk), _SENTINEL, np.uint8)]
+                )
+            words, bad = _pack_codes_2bit(chunk)
+            table = _dense_count_chunk(
+                table, jax.device_put(words), jax.device_put(bad), k
+            )
+            start = next_start
+        if min_count > 0:
+            table = _dense_filter_kernel(table, jnp.uint32(min_count))
+        self.dense = table
+        return self
 
     @classmethod
     def from_sequences(cls, seqs, k: int = 15, min_count: int = 0):
@@ -188,6 +369,8 @@ class KmerCounter:
         codes = _concat_codes(list(seqs))
         if len(codes) < k:
             return self
+        if _use_dense_device_count(len(codes), k):
+            return cls._from_codes_dense(codes, k, min_count)
         if _use_host_count(len(codes)):
             # chunked: the doubling-code temporaries are ~10x the chunk
             # size, so bound the chunk (gigabase inputs would otherwise
@@ -202,12 +385,16 @@ class KmerCounter:
             start = 0
             while start < n:
                 end = min(start + CHUNK, n)
+                mid_sequence_cut = False
                 if end < n:
                     # codes[end-1] may be mid-sequence: back up to the last
                     # separator so windows stay intact
                     seps = np.nonzero(codes[start:end] == _SENTINEL)[0]
                     if len(seps) == 0:
-                        end = min(start + 2 * CHUNK, n)  # huge single seq
+                        # a single >CHUNK-code sequence: cut anyway and
+                        # overlap the next chunk by k-1 codes so
+                        # boundary-spanning windows count exactly once
+                        mid_sequence_cut = True
                     else:
                         end = start + int(seps[-1]) + 1
                 wc = _host_canonical_codes(codes[start:end], k)
@@ -215,13 +402,16 @@ class KmerCounter:
                     if use_bincount:
                         # gigabase inputs: one O(N) scatter into the dense
                         # 4^k table beats sorting every chunk (k <= 15 so
-                        # the table is at most 2^30 bins)
-                        table += np.bincount(wc, minlength=4**k)
+                        # the table is at most 2^30 bins); bincount WITHOUT
+                        # minlength, added into a slice, avoids allocating
+                        # a fresh full-size (8 GB at k=15) temp per chunk
+                        bc = np.bincount(wc)
+                        table[: len(bc)] += bc
                     else:
                         uk, uc = np.unique(wc, return_counts=True)
                         parts_k.append(uk)
                         parts_c.append(uc.astype(np.int64))
-                start = end
+                start = end - (k - 1) if mid_sequence_cut else end
             if use_bincount:
                 kmers = np.nonzero(table)[0].astype(np.uint32)
                 counts = table[kmers.astype(np.int64)]
@@ -273,6 +463,17 @@ class KmerCounter:
     def histo(self) -> dict[int, int]:
         """count -> number of distinct k-mers with that count
         (jellyfish histo)."""
+        if self.dense is not None:
+            C = 1 << 16
+            while True:
+                values, freqs, nd = _dense_histo_kernel(self.dense, C)
+                n_distinct = int(nd)
+                if n_distinct <= C:
+                    break
+                C *= 4  # pathological count diversity: retry wider
+            values = np.asarray(values[:n_distinct])
+            freqs = np.asarray(freqs[:n_distinct])
+            return {int(v): int(f) for v, f in zip(values, freqs)}
         if len(self.counts) == 0:
             return {}
         values, freqs = np.unique(self.counts, return_counts=True)
@@ -284,6 +485,12 @@ class KmerCounter:
         codes = _concat_codes(list(seqs))
         if len(codes) < self.k:
             return np.zeros(0, dtype=np.int64)
+        if self.dense is not None:
+            window_codes = _host_canonical_codes(codes, self.k)
+            if len(window_codes) == 0:
+                return np.zeros(0, dtype=np.int64)
+            hits = self.dense[jnp.asarray(window_codes)]
+            return np.asarray(hits).astype(np.int64)
         if _use_host_count(len(codes)):
             window_codes = _host_canonical_codes(codes, self.k)
             if len(window_codes) == 0 or len(self.kmers) == 0:
@@ -365,8 +572,13 @@ def estimate_overall_read_depth(sequences, k: int = 15):
     # the recount with -L cutoff (result_utils.py:1070-1076) is exactly a
     # filter of the full table — no second windowing/sort pass needed
     filtered = KmerCounter(k)
-    keep = full.counts >= max(cutoff, 1)
-    filtered.kmers, filtered.counts = full.kmers[keep], full.counts[keep]
+    if full.dense is not None:
+        filtered.dense = _dense_filter_kernel(
+            full.dense, jnp.uint32(max(cutoff, 1))
+        )
+    else:
+        keep = full.counts >= max(cutoff, 1)
+        filtered.kmers, filtered.counts = full.kmers[keep], full.counts[keep]
     depth = estimate_kmer_depth(filtered.histo())
     return depth, filtered
 

@@ -1,5 +1,7 @@
 """Alignment and k-mer kernel correctness."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -219,6 +221,98 @@ def test_kmer_host_chunked_count_matches_unchunked():
     assert np.array_equal(one.counts, many.counts)
     keep = one.counts >= 3
     assert np.array_equal(one.kmers[keep], many_min.kmers)
+
+
+def test_kmer_dense_device_matches_host_gigabase_shaped():
+    """The dense device counter (the gigabase jellyfish-replacement path:
+    chunk-streamed 2-bit-packed transfer + scatter-add into an HBM-resident
+    table) produces the identical table, histogram, query answers and
+    cutoff-filtered depth pipeline as the host counter. Chunking is forced
+    tiny, with one sequence far longer than a chunk, so the mid-sequence
+    overlap cut and the separator-aligned cut both exercise."""
+    import numpy as np
+
+    from amira_tpu.ops import kmer as K
+
+    rng = np.random.RandomState(17)
+    bases = np.array(list("ACGTN"))
+    k = 11
+    seqs = [
+        "".join(rng.choice(bases, size=int(rng.randint(30, 700)),
+                           p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        for _ in range(50)
+    ]
+    # a sequence several chunks long (forces mid-sequence overlap cuts)
+    seqs.append("".join(rng.choice(bases[:4], size=9000)))
+    # duplicate some sequences so counts go well above 1
+    seqs += seqs[:20]
+
+    old_chunk = K._DENSE_CHUNK
+    old_env = os.environ.get("AMIRA_TPU_KMER_BACKEND")
+    try:
+        K._DENSE_CHUNK = 2048
+        os.environ["AMIRA_TPU_KMER_BACKEND"] = "device"
+        dense = K.KmerCounter.from_sequences(seqs, k)
+        dense_min = K.KmerCounter.from_sequences(seqs, k, min_count=3)
+        os.environ["AMIRA_TPU_KMER_BACKEND"] = "host"
+        host = K.KmerCounter.from_sequences(seqs, k)
+    finally:
+        K._DENSE_CHUNK = old_chunk
+        if old_env is None:
+            os.environ.pop("AMIRA_TPU_KMER_BACKEND", None)
+        else:
+            os.environ["AMIRA_TPU_KMER_BACKEND"] = old_env
+
+    assert dense.dense is not None and host.dense is None
+    table = np.asarray(dense.dense)[:-1]
+    kmers = np.nonzero(table)[0].astype(np.uint32)
+    assert np.array_equal(kmers, host.kmers)
+    assert np.array_equal(table[kmers.astype(np.int64)], host.counts)
+    assert dense.histo() == host.histo()
+    q_d = dense.query_sequences(seqs[:9])
+    q_h = host.query_sequences(seqs[:9])
+    assert np.array_equal(np.asarray(q_d), np.asarray(q_h))
+    # min_count filter == host filter
+    tmin = np.asarray(dense_min.dense)[:-1]
+    kmin = np.nonzero(tmin)[0].astype(np.uint32)
+    keep = host.counts >= 3
+    assert np.array_equal(kmin, host.kmers[keep])
+
+
+def test_kmer_dense_depth_pipeline_matches_host():
+    """estimate_overall_read_depth through the dense device table (Poisson
+    cutoff fit + device refilter + histogram peak) equals the host path."""
+    import numpy as np
+
+    from amira_tpu.ops import kmer as K
+
+    rng = np.random.RandomState(5)
+    bases = np.array(list("ACGT"))
+    genome = "".join(rng.choice(bases, size=3000))
+    reads = []
+    for _ in range(120):
+        s = rng.randint(0, 2500)
+        ln = rng.randint(200, 500)
+        seq = list(genome[s : s + ln])
+        for j in range(0, len(seq), 61):
+            seq[j] = str(rng.choice(bases))
+        reads.append("".join(seq))
+    old_env = os.environ.get("AMIRA_TPU_KMER_BACKEND")
+    try:
+        os.environ["AMIRA_TPU_KMER_BACKEND"] = "device"
+        d_depth, d_counter = K.estimate_overall_read_depth(reads, 13)
+        os.environ["AMIRA_TPU_KMER_BACKEND"] = "host"
+        h_depth, h_counter = K.estimate_overall_read_depth(reads, 13)
+    finally:
+        if old_env is None:
+            os.environ.pop("AMIRA_TPU_KMER_BACKEND", None)
+        else:
+            os.environ["AMIRA_TPU_KMER_BACKEND"] = old_env
+    assert d_counter.dense is not None and h_counter.dense is None
+    assert d_depth == h_depth
+    d_reads = K.estimate_depth_for_reads(d_counter, reads[:25])
+    h_reads = K.estimate_depth_for_reads(h_counter, reads[:25])
+    assert d_reads == h_reads
 
 
 def test_kmer_host_bincount_matches_sort_path():

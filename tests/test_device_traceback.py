@@ -88,6 +88,48 @@ def test_device_traceback_matches_host(W, lq):
     assert n_checked >= B - 2  # nearly every pair must align
 
 
+def test_batch_major_dp_matches_single_job_kernel():
+    """The batch-major DP (`_banded_sw_batch_core` via `_batched_sw`) must be
+    bit-identical to vmapping the original single-job kernel
+    (`_banded_sw_kernel`) — scores, argmax cell, AND every traceback byte —
+    across varied query lengths and band placements."""
+    import jax
+
+    from amira_tpu.ops.align import _banded_sw_kernel
+
+    rng = np.random.RandomState(11)
+    W, lq = 64, 128
+    B = 16
+    P = W + lq
+    rlen = _bucket(2 * lq + 2 * W + 2 * lq)
+    qs, rs, qlens, dlos = [], [], [], []
+    for b in range(B):
+        n = rng.randint(8, lq)
+        q, r = _mutated_pair(rng, n)
+        qpad = np.full(lq, 4, np.uint8)
+        qpad[: len(q)] = q
+        rpad = np.full(rlen, 4, np.uint8)
+        rpad[P : P + len(r)] = r
+        qs.append(qpad)
+        rs.append(rpad)
+        qlens.append(len(q))
+        # vary the band placement, including strongly negative diagonals
+        dlos.append(int(rng.randint(-(lq - 1), max(len(r) - 1, 1))))
+    qs = np.stack(qs)
+    rs = np.stack(rs)
+    qlens = np.asarray(qlens, np.int32)
+    dlos = np.asarray(dlos, np.int32)
+    got = map(np.asarray, _batched_sw(qs, rs, qlens, dlos, W))
+    ref = map(
+        np.asarray,
+        jax.vmap(_banded_sw_kernel, in_axes=(0, 0, 0, 0, None))(
+            qs, rs, qlens, dlos, W
+        ),
+    )
+    for g, r, name in zip(got, ref, ("tb", "best", "bi", "bw", "bs")):
+        np.testing.assert_array_equal(g, r, err_msg=name)
+
+
 def test_aligner_identical_under_either_traceback(monkeypatch):
     rng = np.random.RandomState(3)
     bases = np.array(list("ACGT"))
