@@ -94,3 +94,8 @@ class GraphBuildCache:
         self._by_k.clear()
         self.streams.clear()
         self.vocab = None
+        # bubble-sweep sketch caches attached by bubbles.get_minhashes_for_
+        # paths are keyed by read id / node hash: stale entries would serve
+        # wrong sketches if the cache is rebound to a new read set
+        for attr in ("node_sketches", "read_kmer_index"):
+            self.__dict__.pop(attr, None)

@@ -59,67 +59,6 @@ def canonical_kmer_codes(codes: np.ndarray, k: int) -> np.ndarray:
     return np.minimum(fwd, rc)
 
 
-def grouped_scaled_hash_sets(
-    slices, group_ids, n_groups, ksize: int = 11, scaled: int = 10
-):
-    """Batched FracMinHash over many sequence slices at once.
-
-    Computes, for each group g in [0, n_groups), the set (as a sorted
-    unique uint64 array) of retained canonical k-mer hashes over all
-    slices assigned to that group — byte-identical to unioning
-    ``MinHash.add_sequence`` over the same slices, but in O(k) vectorized
-    passes over ONE concatenated buffer instead of one Python/numpy round
-    trip per slice (the per-slice overhead dominated the bubble sweeps:
-    ~0.6 ms x hundreds of thousands of node-span slices per cleaning run).
-    """
-    out = [_EMPTY_U64] * n_groups
-    if not slices:
-        return out
-    joined = "\x00".join(slices)
-    codes = _BASE_CODE[
-        np.frombuffer(joined.encode("latin-1", "replace"), dtype=np.uint8)
-    ]
-    n = len(codes)
-    nwin = n - ksize + 1
-    if nwin <= 0:
-        return out
-    lengths = np.fromiter(
-        (len(s) for s in slices), dtype=np.int64, count=len(slices)
-    )
-    starts = np.zeros(len(slices), np.int64)
-    np.cumsum(lengths[:-1] + 1, out=starts[1:])
-    bad = codes >= 4  # non-ACGT bases and the slice separators
-    cs = np.zeros(n + 1, np.int64)
-    np.cumsum(bad, out=cs[1:])
-    win_bad = (cs[ksize:] - cs[:-ksize]) > 0
-    cc = np.where(bad, 0, codes).astype(np.uint64)
-    fwd = np.zeros(nwin, np.uint64)
-    rc = np.zeros(nwin, np.uint64)
-    for j in range(ksize):
-        sl = cc[j : j + nwin]
-        fwd |= sl << np.uint64(2 * (ksize - 1 - j))
-        rc |= (np.uint64(3) - sl) << np.uint64(2 * j)
-    h = _splitmix64_np(np.minimum(fwd, rc))
-    keep = ~win_bad
-    if scaled > 1:
-        keep &= h < np.uint64(2**64 // scaled)
-    idx = np.nonzero(keep)[0]
-    if len(idx) == 0:
-        return out
-    h = h[idx]
-    slice_of_win = np.searchsorted(starts, idx, side="right") - 1
-    groups = np.asarray(group_ids, dtype=np.int64)[slice_of_win]
-    order = np.argsort(groups, kind="stable")
-    groups = groups[order]
-    h = h[order]
-    bounds = np.searchsorted(groups, np.arange(n_groups + 1))
-    for g in range(n_groups):
-        lo, hi = bounds[g], bounds[g + 1]
-        if hi > lo:
-            out[g] = np.unique(h[lo:hi])
-    return out
-
-
 _EMPTY_U64 = np.zeros(0, dtype=np.uint64)
 _EMPTY_I64 = np.zeros(0, dtype=np.int64)
 

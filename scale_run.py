@@ -58,7 +58,17 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     t0 = time.time()
-    marker = os.path.join(args.workdir, f".generated_{args.reads}")
+    # the marker hashes every generation parameter, so changing the isolate
+    # shape (layout/seed/noise/...) invalidates a stale workdir under --reuse
+    gen_params = (
+        len(layout), 17, (10, 20), 400, "fast", 0.05, ("amrX", "amrY"),
+    )
+    import hashlib
+
+    param_tag = hashlib.sha1(repr(gen_params).encode()).hexdigest()[:10]
+    marker = os.path.join(
+        args.workdir, f".generated_{args.reads}_{param_tag}"
+    )
     if args.reuse and os.path.exists(marker):
         files = {
             name: os.path.join(args.workdir, fn)

@@ -119,32 +119,6 @@ def test_sequence_index_queries():
     assert idx.find_all([9]) == []
 
 
-def test_grouped_scaled_hash_sets_matches_minhash():
-    """The batched sketch path (one concatenated buffer, k vectorized
-    passes) is byte-identical to unioning MinHash.add_sequence per slice —
-    including non-ACGT handling, short slices, and empty groups."""
-    import numpy as np
-
-    from amira_tpu.sketch import MinHash, grouped_scaled_hash_sets
-
-    rng = np.random.RandomState(3)
-    bases = np.array(list("ACGTN"))
-    slices, groups = [], []
-    n_groups = 7
-    for i in range(60):
-        ln = int(rng.randint(0, 200))
-        slices.append("".join(rng.choice(bases, size=ln, p=[0.24, 0.24, 0.24, 0.24, 0.04])))
-        groups.append(int(rng.randint(0, n_groups - 1)))  # group n-1 stays empty
-    for ksize, scaled in ((11, 10), (9, 1)):
-        got = grouped_scaled_hash_sets(slices, groups, n_groups, ksize, scaled)
-        for g in range(n_groups):
-            mh = MinHash(ksize=ksize, scaled=scaled)
-            for s, gi in zip(slices, groups):
-                if gi == g:
-                    mh.add_sequence(s)
-            assert set(got[g].tolist()) == mh.hashes, (g, ksize, scaled)
-
-
 def test_read_kmer_index_span_lookup_matches_minhash():
     """span_hashes over a per-read retained-k-mer index equals hashing the
     slice directly (windows, validity, and scaled filter all identical)."""
