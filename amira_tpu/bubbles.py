@@ -85,11 +85,9 @@ def find_paths_to_junctions(graph, start_hash, start_dir, junctions, distance):
     return results
 
 
-def get_all_paths_between_junctions_in_component(
-    graph, bubble_starts, max_distance
-):
-    """All direction-consistent simple paths (>1 alternative) between ordered
-    junction pairs, canonicalized (construct_graph.py:2066-2098)."""
+def _get_all_paths_scalar(graph, bubble_starts, max_distance):
+    """Reference implementation: one DFS per start (kept as the parity
+    oracle for the vectorized frontier search below)."""
     unique_paths = set()
     junction_hashes = {h for h, _d in bubble_starts}
     stop_dirs: dict = {}
@@ -114,6 +112,188 @@ def get_all_paths_between_junctions_in_component(
                         rc = list(reversed([(t[0], t[1] * -1) for t in p]))
                         unique_paths.add(tuple(sorted([p, rc])[0]))
     return list(unique_paths)
+
+
+def get_all_paths_between_junctions_in_component(
+    graph, bubble_starts, max_distance
+):
+    """All direction-consistent simple paths (>1 alternative) between ordered
+    junction pairs, canonicalized (construct_graph.py:2066-2098).
+
+    Implemented as ONE batched frontier expansion over a CSR successor
+    table covering every start simultaneously — each frontier level is a
+    handful of numpy array ops over (paths x depth) matrices instead of a
+    per-path Python DFS (the DFS was the cleaning cycle's largest host
+    loop: ~half the 100k-read bubble-sweep wall-clock). Same answers as
+    `_get_all_paths_scalar` (pinned by tests/test_bubble_path_search.py):
+    path simplicity, the <= max_distance record window, per-(start, stop,
+    end-dir) multiplicity > 1, first-edge end-direction lookup, and
+    reverse-complement canonicalization all preserved."""
+    if not bubble_starts:
+        return []
+    nodes = graph.get_nodes()
+    edges = graph.get_edges()
+    junction_hashes = {h for h, _d in bubble_starts}
+    stop_dirs: dict = {}
+    for h, d in bubble_starts:
+        stop_dirs.setdefault(h, []).append(d)
+
+    # ---- CSR successor table over (node, dir) states
+    hash_list = list(nodes.keys())
+    idx_of = {h: i for i, h in enumerate(hash_list)}
+    n = len(hash_list)
+    succ_lists: list[list] = [[] for _ in range(2 * n)]
+    for h, node in nodes.items():
+        hi = idx_of[h]
+        for d, keys in ((1, node.fwd_edges), (-1, node.bwd_edges)):
+            lst = succ_lists[hi * 2 + (1 if d == 1 else 0)]
+            for key in keys:
+                e = edges[key]
+                t = idx_of.get(e.tgt)
+                if t is not None:
+                    lst.append(t * 2 + (1 if e.tgt_dir == 1 else 0))
+    deg = np.fromiter(
+        (len(s) for s in succ_lists), dtype=np.int64, count=2 * n
+    )
+    ptr = np.zeros(2 * n + 1, np.int64)
+    np.cumsum(deg, out=ptr[1:])
+    flat_succ = np.fromiter(
+        (s for lst in succ_lists for s in lst),
+        dtype=np.int64,
+        count=int(ptr[-1]),
+    )
+    is_junction = np.zeros(n, bool)
+    for h in junction_hashes:
+        i = idx_of.get(h)
+        if i is not None:
+            is_junction[i] = True
+
+    # ---- frontier: rows of states (node*2 + dirbit), one per live path
+    starts_arr = np.fromiter(
+        (
+            idx_of[h] * 2 + (1 if d == 1 else 0)
+            for h, d in bubble_starts
+            if h in idx_of
+        ),
+        dtype=np.int64,
+    )
+    frontier = starts_arr[:, None]  # (P, depth) state rows
+    start_of = np.arange(len(starts_arr))  # index into bubble_starts
+    recorded: list = []  # (depth-level path matrices, start indices)
+    # the scalar DFS expands paths up to max_distance + 1 nodes but only
+    # RECORDS paths of <= max_distance nodes, and the extra level's
+    # children are never recorded either — so levels past max_distance
+    # contribute nothing and are skipped entirely
+    for depth in range(2, max_distance + 1):
+        if frontier.shape[0] == 0:
+            break
+        tips = frontier[:, -1]
+        reps = deg[tips]
+        total = int(reps.sum())
+        if total == 0:
+            break
+        rows = np.repeat(np.arange(frontier.shape[0]), reps)
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        within = np.arange(total) - np.repeat(offs, reps)
+        child = flat_succ[np.repeat(ptr[tips], reps) + within]
+        # simplicity: the child NODE must not already be on the path
+        cand = frontier[rows]
+        simple = ~np.any((cand >> 1) == (child[:, None] >> 1), axis=1)
+        cand = cand[simple]
+        child = child[simple]
+        frontier = np.concatenate([cand, child[:, None]], axis=1)
+        start_of = start_of[rows[simple]]
+        rec = is_junction[frontier[:, -1] >> 1]
+        if rec.any():
+            recorded.append((frontier[rec], start_of[rec]))
+
+    if not recorded:
+        return []
+    # ---- end-direction per row: the SAME first-edge lookup as the scalar
+    # path, but called once per distinct (prev, stop) node pair; rows map
+    # through the pair table vectorized
+    hash_arr = np.array(hash_list, dtype=np.uint64)
+    stop_plus = np.zeros(n, bool)
+    stop_minus = np.zeros(n, bool)
+    for h, ds in stop_dirs.items():
+        i = idx_of.get(h)
+        if i is not None:
+            stop_plus[i] = 1 in ds
+            stop_minus[i] = -1 in ds
+    # canonical-order rank of each (node, dirbit) state under the Python
+    # tuple ordering (hash first, then dir with -1 < +1 == bit 0 < 1)
+    state_hash = np.repeat(hash_arr, 2)
+    state_bit = np.tile(np.array([0, 1], np.int64), n)
+    order = np.lexsort((state_bit, state_hash))
+    rank = np.empty(2 * n, np.int64)
+    rank[order] = np.arange(2 * n)
+
+    level_keys = []
+    level_rows = []
+    dir_memo: dict = {}
+    for mat, st in recorded:
+        stop_idx = mat[:, -1] >> 1
+        prev_idx = mat[:, -2] >> 1
+        pair = prev_idx * n + stop_idx
+        uniq_pairs, inv = np.unique(pair, return_inverse=True)
+        ed_of_pair = np.empty(len(uniq_pairs), np.int64)
+        for j, pc in enumerate(uniq_pairs.tolist()):
+            v = dir_memo.get(pc)
+            if v is None:
+                v = graph.get_direction_between_two_nodes(
+                    hash_list[pc // n], hash_list[pc % n]
+                )
+                dir_memo[pc] = v
+            ed_of_pair[j] = v
+        ed = ed_of_pair[inv]
+        ok = np.where(
+            ed == 1, stop_plus[stop_idx], stop_minus[stop_idx]
+        )
+        keep = np.nonzero(ok)[0]
+        # group key: (start index, stop node, end dir)
+        level_keys.append(
+            (st[keep].astype(np.int64) * n + stop_idx[keep]) * 2
+            + (ed[keep] == 1)
+        )
+        level_rows.append(mat[keep])
+    all_keys = np.concatenate(level_keys)
+    if len(all_keys) == 0:
+        return []
+    uk, inv, counts = np.unique(
+        all_keys, return_inverse=True, return_counts=True
+    )
+    multi = counts[inv] > 1  # a path is valid iff its group has > 1 path
+    out: list = []
+    pos = 0
+    for mat in level_rows:
+        m = multi[pos : pos + mat.shape[0]]
+        pos += mat.shape[0]
+        mat = mat[m]
+        if mat.shape[0] == 0:
+            continue
+        # canonicalize each row against its reverse-complement (columns
+        # reversed, direction bit flipped) under the hash-order rank, then
+        # dedup rows — all without per-path Python
+        rr = rank[mat]
+        rc_mat = mat[:, ::-1] ^ 1
+        rcr = rank[rc_mat]
+        diff = rr != rcr
+        first = np.argmax(diff, axis=1)
+        rows_i = np.arange(mat.shape[0])
+        take_rc = diff.any(axis=1) & (
+            rcr[rows_i, first] < rr[rows_i, first]
+        )
+        canon = np.where(take_rc[:, None], rc_mat, mat)
+        canon = np.unique(canon, axis=0)
+        for row in canon.tolist():
+            out.append(
+                tuple(
+                    (hash_list[s >> 1], 1 if (s & 1) else -1) for s in row
+                )
+            )
+    # downstream tie-breaking inherits the scalar path's set-iteration
+    # order, so round-trip through a set of the same tuples
+    return list(set(out))
 
 
 def filter_paths_between_bubble_starts(graph, unique_paths):

@@ -65,6 +65,8 @@ def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
           bit 4: D extends (else opens from M)
           bit 5: I2 extends (else opens from M)
           bit 6: D2 extends (else opens from M)
+          bit 7: query char matches ref char (traceback emits = vs X from
+                 this bit alone — no char gathers during the walk)
       best_state: 0=M, 1=I, 2=D, 3=I2, 4=D2 at the maximum cell
     """
     Lq = q.shape[0]
@@ -78,7 +80,9 @@ def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
         rwin = jax.lax.dynamic_slice_in_dim(r_padded, i + dlo + W + Lq, W)
         j = i + dlo + w_idx
         in_ref = (j >= 0) & (rwin != 4)
-        s = jnp.where(rwin == qc, MATCH, MISMATCH)
+        eq = rwin == qc
+        eq_bit = eq.astype(jnp.uint8) << 7
+        s = jnp.where(eq, MATCH, MISMATCH)
         # diagonal move: (i-1, j-1) is the same w in band coordinates
         gap_best = jnp.maximum(
             jnp.maximum(I_prev, D_prev), jnp.maximum(I2_prev, D2_prev)
@@ -154,7 +158,7 @@ def _banded_sw_kernel(q, r_padded, q_len, dlo, W: int):
         D_cur = jnp.where(live, D_cur, neg)
         I2_cur = jnp.where(live, I2_cur, neg)
         D2_cur = jnp.where(live, D2_cur, neg)
-        tb_row = m_bits | i_bits | d_bits | i2_bits | d2_bits
+        tb_row = m_bits | i_bits | d_bits | i2_bits | d2_bits | eq_bit
 
         # track the global maximum cell and its state
         gap_cur = jnp.maximum(
@@ -245,7 +249,9 @@ def _banded_sw_batch_core(qs, rsh, qlens, W: int):
         # left pad of rs_padded is all 4s, so j < 0 lands on code 4 too:
         # one mask covers both out-of-ref conditions
         in_ref = rwin != 4
-        s = jnp.where(rwin == qc, MATCH, MISMATCH)
+        eq = rwin == qc
+        eq_bit = eq.astype(jnp.uint8) << 7
+        s = jnp.where(eq, MATCH, MISMATCH)
         gap_best = jnp.maximum(
             jnp.maximum(I_prev, D_prev), jnp.maximum(I2_prev, D2_prev)
         )
@@ -309,7 +315,7 @@ def _banded_sw_batch_core(qs, rsh, qlens, W: int):
         D_cur = jnp.where(live, D_cur, neg)
         I2_cur = jnp.where(live, I2_cur, neg)
         D2_cur = jnp.where(live, D2_cur, neg)
-        tb_row = m_bits | i_bits | d_bits | i2_bits | d2_bits
+        tb_row = m_bits | i_bits | d_bits | i2_bits | d2_bits | eq_bit
         gap_cur = jnp.maximum(
             jnp.maximum(I_cur, D_cur), jnp.maximum(I2_cur, D2_cur)
         )
@@ -381,104 +387,29 @@ def _tb_steps(Lq: int, W: int) -> int:
     return (s + 3) & ~3
 
 
-def _traceback_device_single(tb, q, r_padded, best, bi, bw, bs, dlo, W: int):
-    """Single-job traceback as a fixed-length scan over the packed direction
-    bytes — the device twin of `_traceback` (bit-identical op sequences).
-
-    Emits ops back-to-front (step 0 = last cigar op). Returns
-    (packed_ops, n_steps, q_start, r_start): packed_ops is uint8 with four
-    2-bit ops per byte; ops beyond n_steps are padding.
-    """
-    Lq = q.shape[0]
-    S = _tb_steps(Lq, W)
-    pred_state = jnp.array([0, 0, 1, 2, 3, 4, 0, 0], dtype=jnp.int32)
-
-    def step(carry, _):
-        i, w, state, done, n = carry
-        live = jnp.logical_and(jnp.logical_not(done), i >= 0)
-        ic = jnp.clip(i, 0, Lq - 1)
-        wc = jnp.clip(w, 0, W - 1)
-        byte = tb[ic, wc].astype(jnp.int32)
-        j = i + dlo + w
-        rchar = r_padded[jnp.clip(j + W + Lq, 0, r_padded.shape[0] - 1)]
-        m_op = jnp.where(q[ic] == rchar, _OP_EQ, _OP_X).astype(jnp.int32)
-        pred = byte & 7
-        is_m = state == 0
-        is_i = state == 1
-        is_d = state == 2
-        is_i2 = state == 3
-        op = jnp.where(
-            is_m, m_op, jnp.where(jnp.logical_or(is_i, is_i2), _OP_I, _OP_D)
-        )
-        ext = jnp.where(
-            is_i,
-            (byte >> 3) & 1,
-            jnp.where(
-                is_d,
-                (byte >> 4) & 1,
-                jnp.where(is_i2, (byte >> 5) & 1, (byte >> 6) & 1),
-            ),
-        )
-        gap_state = jnp.where(ext == 1, state, 0)
-        nstate = jnp.where(is_m, pred_state[pred], gap_state)
-        di = jnp.where(jnp.logical_or(is_m, jnp.logical_or(is_i, is_i2)), 1, 0)
-        dw = jnp.where(
-            jnp.logical_or(is_i, is_i2),
-            1,
-            jnp.where(jnp.logical_or(is_d, state == 4), -1, 0),
-        )
-        ndone = jnp.logical_or(done, jnp.logical_and(is_m, pred == 0))
-        i = jnp.where(live, i - di, i)
-        w = jnp.where(live, w + dw, w)
-        state = jnp.where(live, nstate, state)
-        done = jnp.where(live, ndone, done)
-        n = n + jnp.where(live, 1, 0).astype(jnp.int32)
-        op_out = jnp.where(live, op, 0).astype(jnp.uint8)
-        return (i, w, state, done, n), op_out
-
-    init = (
-        bi.astype(jnp.int32),
-        bw.astype(jnp.int32),
-        bs.astype(jnp.int32),
-        jnp.logical_or(bi < 0, best <= 0),
-        jnp.int32(0),
-    )
-    (fi, fw, _fs, _fd, n_steps), ops = jax.lax.scan(
-        step, init, None, length=S
-    )
-    q_start = fi + 1
-    r_start = q_start + dlo + fw
-    shifts = jnp.array([0, 2, 4, 6], dtype=jnp.uint8)
-    packed = jnp.sum(
-        ops.reshape(S // 4, 4).astype(jnp.int32) << shifts.astype(jnp.int32),
-        axis=1,
-    ).astype(jnp.uint8)
-    return packed, n_steps, q_start, r_start
-
-
-def _traceback_batch(tb, qs, rsh, best, bi, bw, bs, W: int):
+def _traceback_batch(tb, B: int, Lq: int, best, bi, bw, bs, W: int,
+                     tb_index=None):
     """Batch-major traceback over the scan-major (Lq, B, W) band matrix —
-    per step ONE flat B-point gather instead of a per-lane 2D gather.
-    Bit-identical op sequences to `_traceback_device_single` for every lane
-    with a positive best score (garbage lanes may read different padding)."""
-    B, Lq = qs.shape
-    LW = rsh.shape[1]
+    per step ONE flat B-point gather (=/X comes from the tb byte's match
+    bit, so the walk touches no query/reference characters at all).
+    Bit-identical op sequences to the host `_traceback` walk for every lane
+    with a positive best score (garbage lanes may read different padding).
+    `tb_index(ic, wc, lane) -> flat index` overrides the band-matrix layout
+    (the Pallas engine emits (Lq, W, B))."""
     S = _tb_steps(Lq, W)
     pred_state = jnp.array([0, 0, 1, 2, 3, 4, 0, 0], dtype=jnp.int32)
     lane = jnp.arange(B, dtype=jnp.int32)
     tb_flat = tb.reshape(-1)
-    qs_flat = qs.reshape(-1)
-    rsh_flat = rsh.reshape(-1)
+    if tb_index is None:
+        tb_index = lambda ic, wc, ln: (ic * B + ln) * W + wc  # noqa: E731
 
     def step(carry, _):
         i, w, state, done, n = carry
         live = jnp.logical_and(jnp.logical_not(done), i >= 0)
         ic = jnp.clip(i, 0, Lq - 1)
         wc = jnp.clip(w, 0, W - 1)
-        byte = jnp.take(tb_flat, (ic * B + lane) * W + wc).astype(jnp.int32)
-        rchar = jnp.take(rsh_flat, lane * LW + jnp.clip(ic + wc, 0, LW - 1))
-        qchar = jnp.take(qs_flat, lane * Lq + ic)
-        m_op = jnp.where(qchar == rchar, _OP_EQ, _OP_X).astype(jnp.int32)
+        byte = jnp.take(tb_flat, tb_index(ic, wc, lane)).astype(jnp.int32)
+        m_op = jnp.where((byte >> 7) & 1, _OP_EQ, _OP_X).astype(jnp.int32)
         pred = byte & 7
         is_m = state == 0
         is_i = state == 1
@@ -559,23 +490,14 @@ def _traceback_batch(tb, qs, rsh, best, bi, bw, bs, W: int):
 def _batched_sw_cigar(qs, rs, qlens, dlos, W: int):
     """Fused DP + traceback: the band matrix never leaves the device; only
     2-bit-packed op sequences (plus endpoints) transfer to host."""
-    rsh = _preshift_refs(rs, dlos, qs.shape[1], W)
+    B, Lq = qs.shape
+    rsh = _preshift_refs(rs, dlos, Lq, W)
     tb, best, bi, bw, bs = _banded_sw_batch_core(qs, rsh, qlens, W)
     packed, n_steps, q0, fw = _traceback_batch(
-        tb, qs, rsh, best, bi, bw, bs, W
+        tb, B, Lq, best, bi, bw, bs, W
     )
     r0 = q0 + dlos.astype(jnp.int32) + fw
     return packed, n_steps, q0, r0, best, bi, bw
-
-
-@partial(jax.jit, static_argnames=("W",))
-def _batched_traceback(tb, qs, rs, best, bi, bw, bs, dlos, W: int):
-    """Traceback alone, for engines that already produced the band matrix
-    (the experimental Pallas DP path)."""
-    packed, n_steps, q0, r0 = jax.vmap(
-        _traceback_device_single, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
-    )(tb, qs, rs, best, bi, bw, bs, dlos, W)
-    return packed, n_steps, q0, r0
 
 
 _DEVICE_TB: bool | None = None
@@ -619,22 +541,18 @@ def _unpack_cigar(packed_row: np.ndarray, n: int):
     ]
 
 
-def _select_sw_engine():
-    """XLA scan by default; AMIRA_TPU_SW_ENGINE=pallas selects the Pallas
-    VMEM-resident kernel (ops/pallas_sw.py), =pallas-interpret its
-    interpreter mode (for CPU testing)."""
+def _select_sw_engine() -> str:
+    """Engine name: "pallas" (ops/pallas_sw_batch, DEFAULT on TPU — its DP
+    runs ~3x the XLA scan at production shapes, measured (512, 2048, W=256)
+    on one v5e: 64 ms vs 193 ms), "xla" (the scan kernel, default on the
+    CPU backend where Mosaic cannot run), or "pallas-interpret" (Pallas
+    semantics on CPU, for tests). Override with AMIRA_TPU_SW_ENGINE."""
     import os
 
-    engine = os.environ.get("AMIRA_TPU_SW_ENGINE", "xla")
-    if engine == "pallas":
-        from amira_tpu.ops.pallas_sw import make_pallas_batched_sw
-
-        return make_pallas_batched_sw(interpret=False)
-    if engine == "pallas-interpret":
-        from amira_tpu.ops.pallas_sw import make_pallas_batched_sw
-
-        return make_pallas_batched_sw(interpret=True)
-    return _batched_sw
+    engine = os.environ.get("AMIRA_TPU_SW_ENGINE", "auto")
+    if engine == "auto":
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    return engine
 
 
 @dataclass
@@ -1169,8 +1087,16 @@ class Aligner:
             by_bucket.setdefault(lq, []).append(job)
         # cap traceback memory: with device traceback the band matrix stays
         # in HBM (~1 GB per launch); the host-traceback path materializes it
-        # host-side, so keep those chunks smaller
-        budget = (1 << 30) if _use_device_traceback() else (256 << 20)
+        # host-side, so keep those chunks smaller. The Pallas engine emits
+        # its band matrix as int32 (Mosaic-safe element type), so its
+        # per-cell cost is 4x.
+        engine = _select_sw_engine()
+        if engine.startswith("pallas"):
+            budget = 1 << 28
+        elif _use_device_traceback():
+            budget = 1 << 30
+        else:
+            budget = 256 << 20
         for lq, bucket_jobs in by_bucket.items():
             chunk = max(1, budget // (lq * W))
             for c0 in range(0, len(bucket_jobs), chunk):
@@ -1209,18 +1135,17 @@ class Aligner:
         qlens_a = np.asarray(qlens, np.int32)
         dlos_a = np.asarray(dlos, np.int32)
         engine = _select_sw_engine()
-        if _use_device_traceback():
-            if engine is _batched_sw:
+        if _use_device_traceback() or engine.startswith("pallas"):
+            if engine == "xla":
                 packed, n_steps, q0s, r0s, best, bi, bw = _batched_sw_cigar(
                     qs_a, rs_a, qlens_a, dlos_a, W
                 )
             else:
-                # experimental DP engines return the band matrix; run the
-                # device traceback as a second dispatch (the matrix still
-                # never transfers)
-                tb, best, bi, bw, bs = engine(qs_a, rs_a, qlens_a, dlos_a, W)
-                packed, n_steps, q0s, r0s = _batched_traceback(
-                    tb, qs_a, rs_a, best, bi, bw, bs, dlos_a, W
+                from amira_tpu.ops.pallas_sw_batch import pallas_sw_cigar
+
+                packed, n_steps, q0s, r0s, best, bi, bw = pallas_sw_cigar(
+                    qs_a, rs_a, qlens_a, dlos_a, W,
+                    interpret=(engine == "pallas-interpret"),
                 )
             packed = np.asarray(packed)
             n_steps = np.asarray(n_steps)
@@ -1247,7 +1172,7 @@ class Aligner:
                 )
                 out.append((tag, strand, qseq, aln))
             return
-        tb, best, bi, bw, bs = engine(qs_a, rs_a, qlens_a, dlos_a, W)
+        tb, best, bi, bw, bs = _batched_sw(qs_a, rs_a, qlens_a, dlos_a, W)
         tb = np.asarray(tb)
         best = np.asarray(best)
         bi = np.asarray(bi)

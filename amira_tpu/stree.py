@@ -89,6 +89,44 @@ class SequenceIndex:
                 arr = None
         if arr is not None and arr.ndim != 1:
             arr = None  # tuple-valued symbols: numpy stacked them into 2D
+        if arr is None and flat:
+            # (hash, dir) pair symbols — the bubble path filter's case:
+            # hashes are full-range uint64, dirs are +-1, so no single
+            # numpy integer dtype holds both columns. Intern via a
+            # two-column lexsort instead of the per-token dict loop (which
+            # dominated the bubble sweep at 100k reads).
+            try:
+                a = np.fromiter(
+                    (s[0] for s in flat), dtype=np.uint64, count=len(flat)
+                )
+                b = np.fromiter(
+                    (s[1] for s in flat), dtype=np.int64, count=len(flat)
+                )
+                lens = np.fromiter(
+                    (len(s) for s in flat), dtype=np.int64, count=len(flat)
+                )
+            except (TypeError, ValueError, OverflowError, IndexError):
+                a = None
+            if (
+                a is not None
+                and type(flat[0]) is tuple
+                and bool((lens == 2).all())
+            ):
+                order = np.lexsort((b, a))
+                sa, sb = a[order], b[order]
+                boundary = np.concatenate(
+                    [[True], (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+                )
+                gid_sorted = np.cumsum(boundary) - 1
+                ids = np.empty(len(flat), np.int32)
+                ids[order] = (gid_sorted).astype(np.int32)
+                reps = order[boundary]
+                self._sym_ids = {
+                    (int(a[i]), int(b[i])): g
+                    for g, i in enumerate(reps.tolist())
+                }
+                self.tok = ids
+                arr = False  # handled
         if arr is None:
             ids = np.empty(len(flat), dtype=np.int32)
             for k, sym in enumerate(flat):
@@ -98,6 +136,9 @@ class SequenceIndex:
                     self._sym_ids[sym] = sym_id
                 ids[k] = sym_id
             self.tok = ids
+        elif arr is False or not flat:
+            if not flat:
+                self.tok = np.zeros(0, dtype=np.int32)
         else:
             uniq, inverse = np.unique(arr, return_inverse=True)
             self._sym_ids = {v: i for i, v in enumerate(uniq.tolist())}

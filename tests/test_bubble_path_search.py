@@ -41,6 +41,33 @@ def per_pair_reference(graph, bubble_starts, max_distance):
     return unique_paths
 
 
+def test_vectorized_frontier_matches_scalar_dfs_on_random_graphs():
+    """The batched frontier expansion equals the per-start DFS
+    (`_get_all_paths_scalar`) on random noisy graphs — including
+    multi-edge multiplicity counting and direction-filtered stops."""
+    import random
+
+    from amira_tpu.bubbles import _get_all_paths_scalar
+
+    for seed in (1, 5, 9):
+        rng = random.Random(seed)
+        reads = {}
+        genes = [f"g{i}" for i in range(12)]
+        for r in range(60):
+            ln = rng.randint(3, 8)
+            reads[f"r{r}"] = [
+                rng.choice("+-") + rng.choice(genes) for _ in range(ln)
+            ]
+        graph = GeneMerGraph(reads, 3)
+        starts_by_component = identify_potential_bubble_starts(graph)
+        for component, starts in starts_by_component.items():
+            expected = set(_get_all_paths_scalar(graph, starts, 12))
+            got = set(
+                get_all_paths_between_junctions_in_component(graph, starts, 12)
+            )
+            assert got == expected, (seed, component)
+
+
 @pytest.mark.parametrize(
     "name,k,expect_paths", [("nine", 3, True), ("five", 3, False), ("seven", 5, False)]
 )
