@@ -787,3 +787,107 @@ def distributed_graph_build(
         wh_full[: len(kept_ids)], wd_full[: len(kept_ids)],
     )
     return graph
+
+
+# ---------------------------------------------------- distributed DNA k-mers
+
+
+def make_distributed_kmer_step(mesh, k: int, chunk: int):
+    """Jitted multi-chip dense canonical DNA k-mer count step (the
+    distributed jellyfish replacement, result_utils.py:1050-1141 at scale).
+
+    Each device unpacks its 2-bit-packed code shard, forms canonical
+    window codes and scatter-adds them into a local dense (4^k + 1)-bin
+    table; ONE psum_scatter over the `kdata` axis then leaves every device
+    holding its bin-slice of the GLOBAL table — the sum rides ICI and
+    per-device HBM scales down with mesh size (a 4 GB k=15 table becomes
+    512 MB/chip on 8 chips). `chunk` is the per-device code count.
+    """
+    from amira_tpu.ops.kmer import _SENTINEL  # noqa: F401 (doc anchor)
+
+    shard_map = jax.shard_map
+    D = mesh.devices.size
+    T = 4**k + 1
+    Tp = ((T + D - 1) // D) * D  # bin count padded to the mesh size
+
+    def shard_step(packed_words, bad_bytes):
+        packed_words = packed_words.reshape(-1)
+        bad_bytes = bad_bytes.reshape(-1)
+        shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+        codes = ((packed_words[:, None] >> shifts[None, :]) & 3).reshape(-1)
+        bshift = jnp.arange(8, dtype=jnp.uint8)
+        bad = (((bad_bytes[:, None] >> bshift[None, :]) & 1) != 0).reshape(-1)
+        n = codes.shape[0] - k + 1
+        fwd = jnp.zeros(n, dtype=jnp.uint32)
+        rc = jnp.zeros(n, dtype=jnp.uint32)
+        valid = jnp.ones(n, dtype=bool)
+        for j in range(k):
+            bj = codes[j : j + n]
+            valid = valid & jnp.logical_not(bad[j : j + n])
+            fwd = (fwd << 2) | bj
+            rc = rc | (((3 - bj) & 3) << (2 * j))
+        canon = jnp.minimum(fwd, rc)
+        idx = jnp.where(valid, canon, jnp.uint32(4**k))
+        local = jnp.zeros(Tp, jnp.uint32).at[idx].add(jnp.uint32(1))
+        # bin-sharded global sum: each device keeps bins
+        # [rank*Tp/D, (rank+1)*Tp/D) of the summed table
+        return jax.lax.psum_scatter(
+            local, "kdata", scatter_dimension=0, tiled=True
+        )
+
+    step = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P("kdata"), P("kdata")),
+        out_specs=P("kdata"),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def distributed_kmer_count(codes, k: int, devices=None):
+    """Count canonical k-mers of a sentinel-separated code stream over all
+    local devices. Splits the stream at sequence boundaries into one chunk
+    per device (padding with invalid positions), runs the shard_map step,
+    and returns the global dense table as a host array of 4^k + 1 bins
+    (the padded tail bins are dropped; slot 4^k holds invalid windows).
+
+    At real multi-chip scale callers keep the bin-sharded device output;
+    materializing the full table here serves the single-host test and
+    dryrun paths."""
+    import numpy as np
+
+    from amira_tpu.ops.kmer import _SENTINEL, _pack_codes_2bit
+
+    if devices is None:
+        devices = jax.devices()
+    D = len(devices)
+    mesh = jax.sharding.Mesh(np.array(devices), ("kdata",))
+    n = len(codes)
+    # split points at sequence boundaries, one chunk per device
+    bounds = [0]
+    for d in range(1, D):
+        cut = min(n, (n * d) // D)
+        if 0 < cut < n:
+            seps = np.nonzero(codes[bounds[-1] : cut] == _SENTINEL)[0]
+            if len(seps):
+                cut = bounds[-1] + int(seps[-1]) + 1
+        bounds.append(max(cut, bounds[-1]))
+    bounds.append(n)
+    chunks = [codes[bounds[d] : bounds[d + 1]] for d in range(D)]
+    chunk_len = max(max((len(c) for c in chunks), default=1), k)
+    chunk_len = ((chunk_len + 15) // 16 * 16) + 16
+    words_rows, bad_rows = [], []
+    for c in chunks:
+        if len(c) < chunk_len:
+            c = np.concatenate(
+                [c, np.full(chunk_len - len(c), _SENTINEL, np.uint8)]
+            )
+        w, b = _pack_codes_2bit(c)
+        words_rows.append(w)
+        bad_rows.append(b)
+    words = np.stack(words_rows)
+    bad = np.stack(bad_rows)
+    step = make_distributed_kmer_step(mesh, k, chunk_len)
+    out = np.asarray(step(words, bad))
+    return out[: 4**k + 1]

@@ -289,3 +289,37 @@ def test_distributed_build_capacity_autosizes_past_16k_nodes():
     assert list(g1.get_nodes().keys()) == list(g2.get_nodes().keys())
     assert list(g1.get_edges().keys()) == list(g2.get_edges().keys())
     assert g1.get_readNodes() == g2.get_readNodes()
+
+
+def test_distributed_kmer_count_matches_host_counter():
+    """The mesh-distributed dense DNA k-mer table (per-device scatter-add +
+    ONE bin-sharded psum_scatter over the data axis) equals the host
+    counter bin-for-bin — including N bases, sequence boundaries, and a
+    sequence long enough to span device shards."""
+    import numpy as np
+
+    from amira_tpu.ops import kmer as K
+    from amira_tpu.parallel.distgraph import distributed_kmer_count
+
+    rng = np.random.RandomState(6)
+    bases = np.array(list("ACGTN"))
+    seqs = [
+        "".join(rng.choice(bases, size=int(rng.randint(30, 600)),
+                           p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        for _ in range(80)
+    ]
+    seqs.append("".join(rng.choice(bases[:4], size=5000)))
+    seqs += seqs[:25]  # duplicates: counts above 1
+    codes = K._concat_codes(seqs)
+    for k in (7, 9):
+        table = distributed_kmer_count(codes, k)
+        os.environ["AMIRA_TPU_KMER_BACKEND"] = "host"
+        try:
+            K._HOST_SORT_THRESHOLD, old = 1, K._HOST_SORT_THRESHOLD
+            host = K.KmerCounter.from_sequences(seqs, k)
+        finally:
+            K._HOST_SORT_THRESHOLD = old
+            os.environ.pop("AMIRA_TPU_KMER_BACKEND", None)
+        kmers = np.nonzero(table[:-1])[0]
+        assert np.array_equal(kmers.astype(np.uint32), host.kmers)
+        assert np.array_equal(table[kmers], host.counts.astype(np.uint32))
