@@ -179,6 +179,187 @@ def _offsets_oriented(seqs_o: dict, ids, k=15, bin_width=128, min_votes=6):
     return out
 
 
+def _map_offsets_to_contig(contig: str, seqs: dict, k: int = 15,
+                           bin_width: int = 128, min_votes: int = 6):
+    """Best diagonal placement of every sequence on `contig` (forward
+    strand): {read_id: (offset, votes)}. The same shared-k-mer voting as
+    _vote_overlaps with the contig as the only target."""
+    ccodes = encode_dna(contig)
+    idx_kmers, idx_pos = build_ref_seed_index(ccodes, k=k)
+    out: dict = {}
+    if len(idx_kmers) == 0:
+        return out
+    for r, s in seqs.items():
+        qcodes = encode_dna(s)
+        qk = _forward_kmers(qcodes, k)
+        qpos = np.nonzero(qk != _SENTINEL)[0]
+        qk = qk[qpos]
+        if len(qk) == 0:
+            continue
+        lo = np.searchsorted(idx_kmers, qk, side="left")
+        hi = np.searchsorted(idx_kmers, qk, side="right")
+        counts = hi - lo
+        keep = (counts > 0) & (counts <= 16)
+        if not keep.any():
+            continue
+        reps = counts[keep]
+        total = int(reps.sum())
+        starts = np.repeat(lo[keep], reps)
+        base = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(base, reps)
+        diag = idx_pos[starts + within] - np.repeat(qpos[keep], reps)
+        dbin = diag // bin_width
+        vals, cnts = np.unique(dbin, return_counts=True)
+        best = int(vals[np.argmax(cnts)])
+        near = np.abs(diag - best * bin_width) <= 2 * bin_width
+        votes = int(near.sum())
+        if votes < min_votes:
+            continue
+        out[r] = (int(np.median(diag[near])), votes)
+    return out
+
+
+def _extend_contig_through_repeats(
+    contig: str, members: list, oriented: dict, k: int = 15,
+    min_votes: int = 6, min_overhang: int = 50, max_rounds: int = 40,
+):
+    """Iterative extension with read-path voting (the tractable half of
+    Flye's repeat resolution, result_utils.py:1267-1288): a collapsed
+    repeat leaves its copy-junction reads OVERHANGING the contig end —
+    their prefix places at the repeat's end while their suffix carries the
+    next genomic segment (for a tandem repeat: the repeat's start again).
+    Each round re-maps every read to the contig and, when >= 2 reads agree
+    on an overhang past an end, appends the longest agreeing overhang;
+    repeated rounds walk the contig through the second copy and out. Ends
+    when no supported overhang remains."""
+    members = list(members)
+    total_cap = len(contig) + sum(len(s) for s in oriented.values())
+    for _ in range(max_rounds):
+        if len(contig) > total_cap:
+            break
+        placed = _map_offsets_to_contig(contig, oriented, k, min_votes=min_votes)
+        grew = False
+        # right end: reads whose tail hangs past the contig
+        right = [
+            (off + len(oriented[r]) - len(contig), r, off)
+            for r, (off, _v) in placed.items()
+            if off + len(oriented[r]) - len(contig) >= min_overhang
+            and off < len(contig) - min_overhang
+        ]
+        if len(right) >= 2:
+            # repeat-first: if the overhang tails themselves map back INSIDE
+            # the contig, the genome re-enters sequence the contig already
+            # holds — a collapsed repeat copy. Duplicate the contig suffix
+            # from the voted re-entry point BEFORE taking any exit overhang
+            # (the exit's evidence survives; the re-entry's would not).
+            tails = {
+                r: oriented[r][len(contig) - off :]
+                for _o, r, off in right
+            }
+            tmap = _map_offsets_to_contig(
+                contig, tails, k, min_votes=min_votes
+            )
+            reentry = [
+                off2 for r, (off2, _v) in tmap.items()
+                if 0 <= off2 < len(contig) - min_overhang
+            ]
+            if len(reentry) >= 2:
+                s = int(np.median(reentry))
+                contig = contig + contig[max(s, 0):]
+            else:
+                right.sort(reverse=True)
+                _over, r, off = right[0]
+                contig = contig + oriented[r][len(contig) - off :]
+            for _o, rr, _f in right:
+                if rr not in members:
+                    members.append(rr)
+            grew = True
+        # left end (mirror)
+        left = [
+            (-off, r, off)
+            for r, (off, _v) in placed.items()
+            if off <= -min_overhang
+            and off + len(oriented[r]) >= min_overhang
+        ]
+        if len(left) >= 2:
+            heads = {r: oriented[r][: -off] for _o, r, off in left}
+            hmap = _map_offsets_to_contig(
+                contig, heads, k, min_votes=min_votes
+            )
+            reentry = [
+                off2 + len(heads[r])
+                for r, (off2, _v) in hmap.items()
+                if min_overhang <= off2 + len(heads[r]) <= len(contig)
+            ]
+            if len(reentry) >= 2:
+                e = int(np.median(reentry))
+                contig = contig[: min(e, len(contig))] + contig
+            else:
+                left.sort(reverse=True)
+                _over, r, off = left[0]
+                contig = oriented[r][:-off] + contig
+            for _o, rr, _f in left:
+                if rr not in members:
+                    members.append(rr)
+            grew = True
+        if not grew:
+            break
+    return contig, members
+
+
+def _merge_extended_contigs(contigs, k=15, min_votes=6, min_overlap=100):
+    """Dovetail-join contigs whose extended ends now overlap (an extension
+    that walked through a repeat reaches sequence another contig starts
+    with). One greedy pass over contig pairs, containment-aware."""
+    if len(contigs) <= 1:
+        return contigs
+    seqs = {i: c[0] for i, c in enumerate(contigs)}
+    ids, votes = _vote_overlaps(seqs, k=k, min_votes=min_votes)
+    merged_into: dict = {}
+    out_seqs = dict(seqs)
+    out_members = {i: list(contigs[i][1]) for i in range(len(contigs))}
+
+    def root(i):
+        while i in merged_into:
+            i = merged_into[i]
+        return i
+
+    order = sorted(
+        votes.items(), key=lambda kv: -kv[1][1]
+    )
+    for (a, b), (off, nv, strand) in order:
+        if strand != "+":
+            continue
+        ra, rb = root(a), root(b)
+        if ra == rb:
+            continue
+        sa, sb = out_seqs[ra], out_seqs[rb]
+        place = _map_offsets_to_contig(sa, {0: sb}, k, min_votes=min_votes)
+        if 0 not in place:
+            place = _map_offsets_to_contig(sb, {0: sa}, k, min_votes=min_votes)
+            if 0 not in place:
+                continue
+            ra, rb = rb, ra
+            sa, sb = sb, sa
+        off2, _v = place[0]
+        olap = min(len(sa) - off2, len(sb)) - max(0, -off2)
+        if olap < min_overlap:
+            continue
+        if off2 >= 0 and off2 + len(sb) <= len(sa):
+            joined = sa  # contained
+        elif off2 >= 0:
+            joined = sa[:off2] + sb
+        elif -off2 + len(sa) <= len(sb):
+            joined = sb
+        else:
+            joined = sb[: -off2] + sa
+        out_seqs[ra] = joined
+        out_members[ra].extend(out_members.pop(rb))
+        del out_seqs[rb]
+        merged_into[rb] = ra
+    return [(out_seqs[i], out_members[i]) for i in sorted(out_seqs)]
+
+
 def assemble_reads(reads: dict, k: int = 15, min_votes: int = 6,
                    min_overlap: int = 100, polish_iterations: int = 3,
                    band_width: int = 512):
@@ -196,7 +377,30 @@ def assemble_reads(reads: dict, k: int = 15, min_votes: int = 6,
     pair_off = _offsets_oriented(oriented, ids, k=k, min_votes=min_votes)
 
     lens = {i: len(oriented[ids[i]]) for i in range(len(ids))}
-    # containment: b's span inside a (or vice versa) with slack
+    # ---- repeat multiplicity from overlap depth, computed BEFORE
+    # containment: a two-copy collapsed repeat's interior reads carry ~2x
+    # the median overlap coverage, so each such read may be PLACED that
+    # many times during layout (the coverage half of Flye's repeat
+    # resolution; result_utils.py:1267-1288)
+    cov = np.zeros(len(ids))
+    for (a, b), (off, nv) in pair_off.items():
+        olap = min(lens[a], lens[b] - off) - max(0, -off)
+        if olap > 0:
+            cov[a] += olap
+            cov[b] += olap
+    depth = 1.0 + cov / np.array(
+        [max(lens[i], 1) for i in range(len(ids))], dtype=float
+    )
+    med = float(np.median(depth)) if len(ids) else 1.0
+    mult = {
+        i: int(np.clip(np.round(depth[i] / max(med, 1e-9)), 1, 4))
+        for i in range(len(ids))
+    }
+
+    # containment: b's span inside a (or vice versa) with slack. Reads in
+    # repeat regions (mult >= 2) are EXEMPT: two staggered copies of a
+    # collapsed repeat place near offset 0 and would swallow each other —
+    # the very reads the multiplicity walk needs to traverse the repeat.
     contained: dict = {}  # read -> a read containing it
     dovetails = []
     for (a, b), (off, nv) in pair_off.items():
@@ -209,10 +413,14 @@ def assemble_reads(reads: dict, k: int = 15, min_votes: int = 6,
         # the overlap, ~a few percent), NOT the overlap size — too much
         # slack absorbs genuine short extensions into "containment"
         slack = max(20, olap // 25)
-        if off >= -slack and off + La <= Lb + slack:
+        if off >= -slack and off + La <= Lb + slack and not (
+            mult[a] >= 2 and mult[b] >= 2
+        ):
             inner = a if La <= Lb else b
             contained.setdefault(inner, b if inner == a else a)
-        elif -off >= -slack and -off + Lb <= La + slack:
+        elif -off >= -slack and -off + Lb <= La + slack and not (
+            mult[a] >= 2 and mult[b] >= 2
+        ):
             inner = b if Lb <= La else a
             contained.setdefault(inner, a if inner == b else b)
         elif off > 0:
@@ -223,31 +431,30 @@ def assemble_reads(reads: dict, k: int = 15, min_votes: int = 6,
 
     dovetails = [d for d in dovetails
                  if d[1] not in contained and d[2] not in contained]
-    dovetails.sort(key=lambda d: -d[0])
-
-    right_link: dict = {}
-    left_link: dict = {}
-    parent = list(range(len(ids)))
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for nv, u, v, t in dovetails:
-        if u in right_link or v in left_link:
-            continue
-        if find(u) == find(v):
-            continue
-        right_link[u] = (v, t)
-        left_link[v] = u
-        parent[find(u)] = find(v)
-
     alive = [i for i in range(len(ids)) if i not in contained]
-    heads = [i for i in alive if i not in left_link]
-    # a contained read polishes the contig of the read that contains it
-    # (resolved transitively to a placed read)
+
+    succ: dict = defaultdict(list)  # u -> [(votes, v, t)] with v starting t
+    has_pred: set = set()
+    for nv, u, v, t in dovetails:
+        succ[u].append((nv, v, t))
+        has_pred.add(v)
+    for lst in succ.values():
+        lst.sort(key=lambda e: -e[0])
+
+    remaining = dict(mult)
+
+    def _score(v):
+        """Repeat-first traversal: prefer a successor that leads (back)
+        into higher-multiplicity reads — a tandem repeat's re-entry
+        junction outranks its exit, so the walk traverses the second copy
+        while placements remain, then exits. Unique-region candidates all
+        score 1 and fall back to vote order (the old greedy)."""
+        s = mult.get(v, 1)
+        for _nv, w, _t in succ.get(v, ()):
+            if remaining.get(w, 0) > 0:
+                s = max(s, mult.get(w, 1))
+        return s
+
     containees: dict = defaultdict(list)
     for c, outer in contained.items():
         seen = {c}
@@ -255,13 +462,29 @@ def assemble_reads(reads: dict, k: int = 15, min_votes: int = 6,
             seen.add(outer)
             outer = contained[outer]
         containees[outer].append(c)
+
+    # seeds: chain heads first (no incoming dovetail), longest first
+    seed_order = sorted(
+        alive, key=lambda i: (i in has_pred, -lens[i], i)
+    )
     contigs = []
-    for h in heads:
-        chain = [h]
+    for seed in seed_order:
+        if remaining.get(seed, 0) <= 0:
+            continue
+        chain = [seed]
         offs = [0]
-        cur = h
-        while cur in right_link:
-            nxt, t = right_link[cur]
+        remaining[seed] -= 1
+        cur = seed
+        while True:
+            cands = [
+                (nv, v, t)
+                for nv, v, t in succ.get(cur, ())
+                if remaining.get(v, 0) > 0 and t > 0
+            ]
+            if not cands:
+                break
+            nv, nxt, t = max(cands, key=lambda e: (_score(e[1]), e[0]))
+            remaining[nxt] -= 1
             offs.append(offs[-1] + t)
             chain.append(nxt)
             cur = nxt
@@ -274,18 +497,35 @@ def assemble_reads(reads: dict, k: int = 15, min_votes: int = 6,
                 draft_end = off + len(s)
         draft = "".join(draft_parts)
         members = [ids[i] for i in chain]
-        pool = {ids[i]: reads[ids[i]] for i in chain}
         for i in chain:
             for c in containees.get(i, ()):
-                pool[ids[c]] = reads[ids[c]]
+                members.append(ids[c])
+        contigs.append((draft, members))
+
+    # repeat resolution: extend each collapsed contig through copy
+    # junctions, then join contigs whose extended ends meet
+    extended = []
+    for draft, members in contigs:
+        draft, members = _extend_contig_through_repeats(
+            draft, members, oriented, k=k, min_votes=min_votes,
+        )
+        extended.append((draft, members))
+    merged = _merge_extended_contigs(
+        extended, k=k, min_votes=min_votes, min_overlap=min_overlap
+    )
+
+    final = []
+    for draft, members in merged:
+        members = list(dict.fromkeys(members))
+        pool = {r: reads[r] for r in members if r in reads}
         if len(pool) > 1:
             draft = polish(
                 draft, pool,
                 iterations=polish_iterations, band_width=band_width,
             )
-        contigs.append((draft, members))
-    contigs.sort(key=lambda c: -len(c[0]))
-    return contigs
+        final.append((draft, members))
+    final.sort(key=lambda c: -len(c[0]))
+    return final
 
 
 def assemble_path(fastq_path, out_dir, iterations=3, band_width=512):

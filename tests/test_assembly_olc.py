@@ -101,3 +101,57 @@ def test_assemble_path_writes_multifasta(tmp_path):
     assert text.startswith(">contig_1")
     contig = text.split("\n")[1]
     assert contig == truth or reverse_complement(contig) == truth
+
+
+def test_assembles_through_tandem_duplication():
+    """A tandem repeat LONGER than any read (U1 R R U2, |R| > read length)
+    must assemble THROUGH the duplication into one contig of the full
+    doubled length: the layout walk places the repeat's ~2x-depth interior
+    reads twice and takes the repeat re-entry junction before the exit
+    (repeat-first traversal). The old one-link-per-read greedy collapsed
+    this to one repeat copy."""
+    rng = np.random.RandomState(11)
+    U1 = _genome(rng, 700)
+    R = _genome(rng, 900)
+    U2 = _genome(rng, 700)
+    truth = U1 + R + R + U2  # 3200 bp, reads 400 bp
+    reads = _tile_reads(rng, truth, read_len=400, step=70, rc_fraction=0.0)
+    contigs = assemble_reads(reads, min_votes=5)
+    assert contigs, "no contigs assembled"
+    longest, members = contigs[0]
+    # through-the-repeat: the contig must cover ~the full doubled genome,
+    # far past the collapsed single-copy length (2300)
+    assert len(longest) >= len(truth) - 80, (
+        f"repeat collapsed: contig {len(longest)} vs truth {len(truth)}"
+    )
+    assert len(longest) <= len(truth) + 80
+    # and it must BE the doubled genome: exact containment of both unique
+    # flanks and two R copies in order (error-free reads -> exact contig)
+    assert U1[50:650] in longest
+    assert U2[50:650] in longest
+    first = longest.find(R)
+    assert first != -1, "first repeat copy missing"
+    assert longest.find(R, first + 1) != -1, "second repeat copy missing"
+
+
+def test_interspersed_repeat_does_not_misjoin():
+    """An interspersed repeat (A R B R C) with no spanning reads is
+    genuinely unresolvable; the assembler must not fabricate a join that
+    puts A's flank directly against C's (skipping B). Contigs may break at
+    the repeat, but every assembled junction must exist in the truth."""
+    rng = np.random.RandomState(13)
+    A = _genome(rng, 600)
+    R = _genome(rng, 900)
+    B = _genome(rng, 600)
+    C = _genome(rng, 600)
+    truth = A + R + B + R + C
+    reads = _tile_reads(rng, truth, read_len=400, step=60, rc_fraction=0.0)
+    contigs = assemble_reads(reads, min_votes=5)
+    assert contigs
+    # every 500bp window of every contig must occur in the truth OR be a
+    # repeat-boundary chimera only within R itself (identical copies make
+    # R-internal placements interchangeable, never A|C junctions)
+    for seq, _members in contigs:
+        for s in range(0, max(1, len(seq) - 500), 100):
+            win = seq[s : s + 500]
+            assert win in truth, "fabricated junction not present in truth"
