@@ -181,14 +181,16 @@ def _use_host_count(n: int) -> bool:
 # scatter-add sustains ~84M updates/s and host->device transfer ~1.2 GB/s,
 # so 3 Gbp counts in ~40 s vs ~1300 s for the chunked host-numpy counter
 # (SCALE_REPORT.md round 3) — and the table never crosses back to the host:
-# histogramming (device sort + run-length), the Poisson-cutoff refilter (one
-# elementwise pass) and per-read-set queries (gathers) all run on device.
+# histogramming (one scatter-add bincount over the bin values), the
+# Poisson-cutoff refilter (one elementwise pass) and per-read-set queries
+# (gathers) all run on device.
 # Replaces `jellyfish count/histo/query` (result_utils.py:1050-1141).
 
 _DENSE_CHUNK = 1 << 26  # codes per streamed chunk (one compiled shape)
 _SCATTER_CODES_PER_SEC = 84e6  # measured v5e scatter-add rate (see above)
 _HOST_CODES_PER_SEC = 2.5e6  # measured 2-core host bincount-counter rate
-_DENSE_FIXED_SEC = 10.0  # histo sorts + dispatch overheads, measured
+_DENSE_FIXED_SEC = 15.0  # histo scatter + dispatch overheads, measured
+_HISTO_CAP = 1 << 20  # count-histogram bins; counts past this resolve via top_k
 
 
 def _pack_codes_2bit(codes: np.ndarray):
@@ -228,31 +230,23 @@ def _dense_count_chunk(table, packed_words, bad_bytes, k: int):
     return table.at[idx].add(jnp.uint32(1))
 
 
-@partial(jax.jit, static_argnames=("C",))
-def _dense_histo_kernel(table, C: int):
-    """count -> #bins histogram of the dense table via ONE device sort of the
-    bin values + run-length compaction (~3.4 s for 2^30 bins on v5e vs ~13 s
-    for a scatter-based bincount). Zero bins (absent k-mers) are dropped.
-    Returns (values, freqs, n_distinct) with at most C slots."""
-    vals = jnp.sort(table[:-1])
-    nz = vals > 0
-    boundary = nz & jnp.concatenate(
-        [jnp.ones((1,), bool), vals[1:] != vals[:-1]]
-    )
-    run_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    N = vals.shape[0]
-    idx = jnp.where(boundary, run_id, C)
-    values = jnp.zeros((C + 1,), jnp.uint32).at[idx].set(
-        jnp.where(boundary, vals, 0)
-    )[:C]
-    # freq of run r = start of run r+1 minus start of run r
-    starts = jnp.zeros((C + 1,), jnp.int64).at[idx].set(
-        jnp.where(boundary, jnp.arange(N, dtype=jnp.int64), 0)
-    )
-    n_distinct = jnp.sum(boundary.astype(jnp.int32))
-    starts = starts.at[jnp.minimum(n_distinct, C)].set(N)
-    freqs = starts[1 : C + 1] - starts[:C]
-    return values, freqs, n_distinct
+@partial(jax.jit, static_argnames=("CAP",))
+def _dense_histo_bincount(table, CAP: int):
+    """count -> #bins histogram of the dense table via ONE scatter-add into
+    CAP bins (peak memory = table + one int32 temp; the earlier sort-based
+    variant needed ~17 GB of temporaries at k=15 and OOM'd a 16 GB chip).
+    Counts >= CAP (vanishingly rare) are tallied separately and resolved
+    exactly by the host via top_k."""
+    vals = table[:-1]
+    clipped = jnp.minimum(vals, jnp.uint32(CAP - 1)).astype(jnp.int32)
+    bc = jnp.zeros(CAP, jnp.int32).at[clipped].add(jnp.int32(1))
+    n_over = jnp.sum((vals >= jnp.uint32(CAP)).astype(jnp.int32))
+    return bc, n_over
+
+
+@partial(jax.jit, static_argnames=("K",))
+def _dense_tail_topk(table, K: int):
+    return jax.lax.top_k(table[:-1], K)[0]
 
 
 @jax.jit
@@ -464,16 +458,25 @@ class KmerCounter:
         """count -> number of distinct k-mers with that count
         (jellyfish histo)."""
         if self.dense is not None:
-            C = 1 << 16
-            while True:
-                values, freqs, nd = _dense_histo_kernel(self.dense, C)
-                n_distinct = int(nd)
-                if n_distinct <= C:
-                    break
-                C *= 4  # pathological count diversity: retry wider
-            values = np.asarray(values[:n_distinct])
-            freqs = np.asarray(freqs[:n_distinct])
-            return {int(v): int(f) for v, f in zip(values, freqs)}
+            CAP = _HISTO_CAP
+            bc, n_over = _dense_histo_bincount(self.dense, CAP)
+            bc = np.asarray(bc)
+            nz = np.nonzero(bc)[0]
+            out = {int(v): int(bc[v]) for v in nz if v > 0}
+            n_over = int(n_over)
+            if n_over:
+                # exact tail: pull the largest counts (values >= CAP)
+                K = 1 << max(int(np.ceil(np.log2(n_over))), 4)
+                tail = np.asarray(_dense_tail_topk(self.dense, K))
+                tail = tail[tail >= CAP]
+                out.pop(CAP - 1, None)  # remove the clipped lump
+                clipped_under = bc[CAP - 1] - n_over
+                if clipped_under > 0:
+                    out[CAP - 1] = int(clipped_under)
+                vals, cnts = np.unique(tail, return_counts=True)
+                for v, c in zip(vals, cnts):
+                    out[int(v)] = out.get(int(v), 0) + int(c)
+            return out
         if len(self.counts) == 0:
             return {}
         values, freqs = np.unique(self.counts, return_counts=True)
@@ -568,7 +571,8 @@ def estimate_overall_read_depth(sequences, k: int = 15):
     """Count -> cutoff-fit -> recount -> depth peak
     (result_utils.py:1050-1080). Returns (depth, filtered KmerCounter)."""
     full = KmerCounter.from_sequences(sequences, k)
-    cutoff = kmer_cutoff_estimation(full.histo())
+    full_histo = full.histo()
+    cutoff = kmer_cutoff_estimation(full_histo)
     # the recount with -L cutoff (result_utils.py:1070-1076) is exactly a
     # filter of the full table — no second windowing/sort pass needed
     filtered = KmerCounter(k)
@@ -576,10 +580,16 @@ def estimate_overall_read_depth(sequences, k: int = 15):
         filtered.dense = _dense_filter_kernel(
             full.dense, jnp.uint32(max(cutoff, 1))
         )
+        # the filtered histogram is the full histogram above the cutoff —
+        # no second table pass
+        filtered_histo = {
+            v: f for v, f in full_histo.items() if v >= max(cutoff, 1)
+        }
     else:
         keep = full.counts >= max(cutoff, 1)
         filtered.kmers, filtered.counts = full.kmers[keep], full.counts[keep]
-    depth = estimate_kmer_depth(filtered.histo())
+        filtered_histo = filtered.histo()
+    depth = estimate_kmer_depth(filtered_histo)
     return depth, filtered
 
 

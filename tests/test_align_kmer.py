@@ -344,3 +344,35 @@ def test_kmer_host_bincount_matches_sort_path():
     assert np.array_equal(srt.counts, bc.counts)
     keep = srt.counts >= 2
     assert np.array_equal(srt.kmers[keep], bc_min.kmers)
+
+
+def test_kmer_dense_histo_tail_exact():
+    """Counts at or past the histogram bin cap resolve exactly through the
+    top_k tail path (and the clipped boundary bin stays correct)."""
+    from amira_tpu.ops import kmer as K
+
+    rng = np.random.RandomState(3)
+    k = 9
+    base = "".join(rng.choice(np.array(list("ACGT")), size=200))
+    hot = base[:40]
+    seqs = [base] + [hot] * 40  # some k-mers reach counts ~41
+    old_cap = K._HISTO_CAP
+    old_env = os.environ.get("AMIRA_TPU_KMER_BACKEND")
+    try:
+        K._HISTO_CAP = 16  # force the tail path
+        os.environ["AMIRA_TPU_KMER_BACKEND"] = "device"
+        dense = K.KmerCounter.from_sequences(seqs, k)
+        os.environ["AMIRA_TPU_KMER_BACKEND"] = "host"
+        K._HOST_SORT_THRESHOLD, old_t = 1, K._HOST_SORT_THRESHOLD
+        try:
+            host = K.KmerCounter.from_sequences(seqs, k)
+        finally:
+            K._HOST_SORT_THRESHOLD = old_t
+    finally:
+        K._HISTO_CAP = old_cap
+        if old_env is None:
+            os.environ.pop("AMIRA_TPU_KMER_BACKEND", None)
+        else:
+            os.environ["AMIRA_TPU_KMER_BACKEND"] = old_env
+    assert dense.histo() == host.histo()
+    assert max(host.histo()) >= 16  # the cap really was exceeded
