@@ -10,11 +10,11 @@ Metrics:
 1. allele_polish_alleles_per_sec — batched lockstep polishing of 40 allele
    clusters vs the serial per-allele path on the same kernels.
 2. e2e_pipeline_reads_per_sec — full ingest→amira_results.tsv pipeline on a
-   synthetic multi-copy-AMR isolate (E2E_READS reads). vs_baseline divides
-   by the upstream PER-BUILD-EQUIVALENT cleaning throughput (metric 3's
-   denominator) — deeply conservative, since the upstream pipeline performs
-   ~70 such builds plus clustering/polishing/copy-number work that is not
-   charged at all.
+   synthetic multi-copy-AMR isolate (E2E_READS reads), with the exact
+   amrX x2 + amrY calls asserted and a per-phase breakdown printed.
+   vs_baseline is LIKE-FOR-LIKE: the repo's graph-phase span vs THE REAL
+   upstream Amira running its identical graph-phase chain (via
+   tests/ref_shims) on the same GRAPH_SPAN_READS-read subsample.
 3. genemer_cleaning_cycle_reads_per_sec (headline) — one cold graph build +
    CLEAN_ITERS full cleaning iterations, each = {perturb ~2% of reads (the
    typical correction churn) → rebuild → coverage-filter + correct reads →
