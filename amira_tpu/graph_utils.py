@@ -39,17 +39,31 @@ def iterative_bubble_popping(
     cache=None,
 ):
     """Iterate {rebuild, filter, correct, trim tips, pop bubbles} until the
-    node count stops changing (amira/graph_utils.py:127-181)."""
+    node count stops changing (amira/graph_utils.py:127-181). Sub-stage
+    wall-clock accumulates into the phase timer's metadata so scale runs
+    show WHERE cleaning time goes."""
+    import time as _time
+
+    from amira_tpu.tracing import TIMER
+
     prev_nodes = 0
     components_to_skip: set = set()
+    stage_s = {"build": 0.0, "filter_correct": 0.0, "tips": 0.0, "bubbles": 0.0}
+
+    def _tick():
+        return _time.time()
+
     for this_iteration in range(cleaning_iterations):
         if not quiet:
             sys.stderr.write(
                 f"\namira-tpu: graph cleaning iteration {this_iteration + 1}\n"
             )
+        t0 = _tick()
         graph = build_graph(
             new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, cache
         )
+        stage_s["build"] += _tick() - t0
+        t0 = _tick()
         if graph.is_lazy:
             # tensor path: filter + correction from the aggregation tables,
             # no Node/Edge materialization (amira_tpu/clean.py; parity with
@@ -62,14 +76,18 @@ def iterative_bubble_popping(
             new_annotatedReads, new_gene_position_dict = graph.correct_reads(
                 fastq_content
             )
+        stage_s["filter_correct"] += _tick() - t0
+        t0 = _tick()
         graph = build_graph(
             new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, cache
         )
+        stage_s["build"] += _tick() - t0
         if graph.get_total_number_of_nodes() == prev_nodes:
             break
         prev_nodes = graph.get_total_number_of_nodes()
         short_reads.update(graph.get_short_read_annotations())
         short_read_gene_positions.update(graph.get_short_read_gene_positions())
+        t0 = _tick()
         if graph.is_lazy:
             new_annotatedReads, new_gene_position_dict = clean.tip_trim_and_correct(
                 graph, geneMer_size, fastq_content
@@ -79,11 +97,15 @@ def iterative_bubble_popping(
             new_annotatedReads, new_gene_position_dict = graph.correct_reads(
                 fastq_content
             )
+        stage_s["tips"] += _tick() - t0
+        t0 = _tick()
         graph = build_graph(
             new_annotatedReads, geneMer_size, new_gene_position_dict, vocab, cache
         )
+        stage_s["build"] += _tick() - t0
         short_reads.update(graph.get_short_read_annotations())
         short_read_gene_positions.update(graph.get_short_read_gene_positions())
+        t0 = _tick()
         (
             new_annotatedReads,
             new_gene_position_dict,
@@ -96,6 +118,17 @@ def iterative_bubble_popping(
             min_path_coverage,
             components_to_skip,
             True,
+        )
+        stage_s["bubbles"] += _tick() - t0
+    # annotate the enclosing graph_cleaning phase entry (if one is open)
+    for _name, _start, entry in TIMER._stack:
+        if _name == "graph_cleaning":
+            entry["stages"] = {k: round(v, 1) for k, v in stage_s.items()}
+    if not quiet:
+        sys.stderr.write(
+            "\namira-tpu: cleaning stage seconds: "
+            + ", ".join(f"{k}={v:.1f}" for k, v in stage_s.items())
+            + "\n"
         )
     return new_annotatedReads, new_gene_position_dict
 
