@@ -23,14 +23,13 @@ _SENTINEL = np.uint8(255)
 
 def _concat_codes(seqs: list[str]) -> np.ndarray:
     """Concatenate 2-bit base codes with sentinel separators so k-mer windows
-    never span two sequences."""
-    parts = []
-    for s in seqs:
-        parts.append(encode_dna(s))
-        parts.append(np.array([_SENTINEL], dtype=np.uint8))
-    if not parts:
+    never span two sequences. One C-speed join + LUT pass — the per-read
+    append/concatenate loop cost tens of seconds on gigabase read sets."""
+    seqs = list(seqs)
+    if not seqs:
         return np.zeros(0, dtype=np.uint8)
-    return np.concatenate(parts)
+    # "\n" is not ACGT, so the LUT maps it to the 255 sentinel
+    return encode_dna("\n".join(seqs) + "\n")
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -254,6 +253,37 @@ def _dense_filter_kernel(table, cutoff):
     """jellyfish-recount-with--L equivalent: zero every bin below cutoff
     (the invalid-slot tail bin is zeroed too; it is never queried)."""
     return jnp.where(table >= cutoff, table, jnp.uint32(0)).at[-1].set(0)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _dense_query_median(table, packed_words, bad_bytes, k: int):
+    """Median of the NONZERO table counts over every valid k-mer window of
+    a 2-bit-packed query stream — windowing, gather, sort and median all on
+    device, so per-path depth queries ship 0.375 B/code up and one scalar
+    back (the host windowing pass alone cost ~40 s on the 500k run).
+    Returns (median*2 as uint32 sum of the two middle counts, nnz)."""
+    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+    codes = ((packed_words[:, None] >> shifts[None, :]) & 3).reshape(-1)
+    bshift = jnp.arange(8, dtype=jnp.uint8)
+    bad = (((bad_bytes[:, None] >> bshift[None, :]) & 1) != 0).reshape(-1)
+    n = codes.shape[0] - k + 1
+    fwd = jnp.zeros(n, dtype=jnp.uint32)
+    rc = jnp.zeros(n, dtype=jnp.uint32)
+    valid = jnp.ones(n, dtype=bool)
+    for j in range(k):
+        bj = codes[j : j + n]
+        valid = valid & jnp.logical_not(bad[j : j + n])
+        fwd = (fwd << 2) | bj
+        rc = rc | (((3 - bj) & 3) << (2 * j))
+    canon = jnp.minimum(fwd, rc)
+    counts = jnp.where(valid, table[jnp.where(valid, canon, 0)], 0)
+    sc = jnp.sort(counts)  # zeros (absent/invalid) sort first
+    N = sc.shape[0]
+    z = jnp.sum((sc == 0).astype(jnp.int32))
+    nnz = N - z
+    lo = sc[jnp.clip(z + (nnz - 1) // 2, 0, N - 1)]
+    hi = sc[jnp.clip(z + nnz // 2, 0, N - 1)]
+    return lo + hi, nnz
 
 
 _PROBED_TRANSFER_RATE: float | None = None
@@ -596,6 +626,20 @@ def estimate_overall_read_depth(sequences, k: int = 15):
 def estimate_depth_for_reads(counter: KmerCounter, sequences) -> float:
     """Median count of the reads' k-mers in the filtered table, dropping
     zero-count entries (result_utils.py:1037-1047, 1083-1086)."""
+    if counter.dense is not None:
+        codes = _concat_codes(list(sequences))
+        if len(codes) < counter.k:
+            return 0.0
+        n_pad = _pow2_bucket(len(codes), 1 << 12)
+        if n_pad != len(codes):
+            codes = np.concatenate(
+                [codes, np.full(n_pad - len(codes), _SENTINEL, np.uint8)]
+            )
+        words, bad = _pack_codes_2bit(codes)
+        med2, nnz = _dense_query_median(counter.dense, words, bad, counter.k)
+        if int(nnz) == 0:
+            return 0.0
+        return float(int(med2)) / 2.0
     counts = counter.query_sequences(sequences)
     counts = counts[counts != 0]
     if len(counts) == 0:
