@@ -296,9 +296,9 @@ def get_all_paths_between_junctions_in_component(
     return list(set(out))
 
 
-def filter_paths_between_bubble_starts(graph, unique_paths):
-    """Drop paths that contain shorter paths; keep paths of > 2 nodes with
-    their interior coverage (construct_graph.py:2125-2146)."""
+def _filter_paths_scalar(graph, unique_paths):
+    """Reference implementation of the containment filter (kept as the
+    parity oracle for the batched screen below)."""
     unique_paths = sorted(list(unique_paths), key=len)
     index = SequenceIndex({i: list(p) for i, p in enumerate(unique_paths)})
     filtered = []
@@ -315,6 +315,110 @@ def filter_paths_between_bubble_starts(graph, unique_paths):
         if len(p) > 2:
             filtered.append((p, calculate_path_coverage(graph, p)))
     return filtered
+
+
+def filter_paths_between_bubble_starts(graph, unique_paths):
+    """Drop paths that contain shorter paths; keep paths of > 2 nodes with
+    their interior coverage (construct_graph.py:2125-2146).
+
+    The containment relation is transitively closed under contiguity, so
+    the scalar pass's marked-paths-don't-mark rule is inert and the filter
+    reduces to: drop p iff some OTHER path q (forward or reversed, no
+    strand flip) occurs contiguously inside p. Screened with ONE batched
+    rolling-hash pass per query length over the padded path matrix —
+    random-weight 64-bit window hashes, exact row verification on every
+    hit — instead of a per-path posting-index query (which was half the
+    500k-read bubble-sweep wall-clock). Same answers as
+    `_filter_paths_scalar` (pinned by tests/test_bubbles.py)."""
+    unique_paths = sorted(list(unique_paths), key=len)
+    n_paths = len(unique_paths)
+    if n_paths == 0:
+        return []
+    # intern (hash, dir) pair symbols exactly like stree.SequenceIndex
+    lens = np.fromiter((len(p) for p in unique_paths), np.int64, n_paths)
+    Lmax = int(lens.max())
+    flat_a = np.fromiter(
+        (s[0] for p in unique_paths for s in p), np.uint64, int(lens.sum())
+    )
+    flat_b = np.fromiter(
+        (s[1] for p in unique_paths for s in p), np.int64, int(lens.sum())
+    )
+    order = np.lexsort((flat_b, flat_a))
+    sa, sb = flat_a[order], flat_b[order]
+    boundary = np.concatenate(
+        [[True], (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+    )
+    tok = np.empty(len(flat_a), np.int64)
+    tok[order] = np.cumsum(boundary) - 1
+    n_sym = int(boundary.sum())
+    # padded token matrix; pad symbol n_sym never matches a real window
+    mat = np.full((n_paths, Lmax), n_sym, np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    for i in range(n_paths):
+        mat[i, : lens[i]] = tok[offs[i] : offs[i + 1]]
+    rng = np.random.RandomState(0xA31)
+    weights = rng.randint(1, 2**63, size=Lmax + 1, dtype=np.uint64) | 1
+    sym_rand = rng.randint(0, 2**63, size=n_sym + 1, dtype=np.uint64)
+    rmat = sym_rand[mat]
+    dropped = np.zeros(n_paths, bool)
+    by_len: dict = {}
+    for i in range(n_paths):
+        by_len.setdefault(int(lens[i]), []).append(i)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    for Lq, q_idx in sorted(by_len.items()):
+        hosts = np.nonzero(lens >= Lq)[0]
+        if len(hosts) == 0:
+            continue
+        w = weights[:Lq]
+        # query hashes: forward and reversed (plain reversal, no dir flip)
+        qrows = rmat[q_idx, :Lq]
+        q_hash = (qrows * w[None, :]).sum(axis=1, dtype=np.uint64)
+        qr_hash = (qrows[:, ::-1] * w[None, :]).sum(axis=1, dtype=np.uint64)
+        qset = np.unique(np.concatenate([q_hash, qr_hash]))
+        wins = sliding_window_view(rmat[hosts], Lq, axis=1)
+        whash = np.einsum(
+            "pwl,l->pw", wins, w, dtype=np.uint64, casting="unsafe"
+        )
+        hit = np.isin(whash, qset)
+        hp, hw = np.nonzero(hit)
+        if len(hp) == 0:
+            continue
+        # exact verification of every hash hit: the window must equal a
+        # DIFFERENT path's row (forward or reversed)
+        qmat = mat[q_idx, :Lq]
+        qmat_r = qmat[:, ::-1]
+        hash_to_rows: dict = {}
+        for qi in range(len(q_idx)):
+            hash_to_rows.setdefault(int(q_hash[qi]), []).append(
+                (q_idx[qi], qmat[qi])
+            )
+            hash_to_rows.setdefault(int(qr_hash[qi]), []).append(
+                (q_idx[qi], qmat_r[qi])
+            )
+        for pi, wi in zip(hp.tolist(), hw.tolist()):
+            host = int(hosts[pi])
+            if dropped[host]:
+                continue
+            window = mat[host, wi : wi + Lq]
+            for q_id, q_row in hash_to_rows.get(
+                int(whash[pi, wi]), ()
+            ):
+                # equal lengths only match as mutual reversal pairs; the
+                # scalar pass keeps whichever sorts first and drops the
+                # other, so the later index loses the tie
+                if (
+                    q_id != host
+                    and (Lq < lens[host] or q_id < host)
+                    and np.array_equal(window, q_row)
+                ):
+                    dropped[host] = True
+                    break
+    return [
+        (p, calculate_path_coverage(graph, p))
+        for i, p in enumerate(unique_paths)
+        if not dropped[i] and len(p) > 2
+    ]
 
 
 def separate_paths_by_terminal_nodes(sorted_filtered_paths):
@@ -712,6 +816,16 @@ def correct_bubble_paths(
     return path_coverages
 
 
+# cumulative wall-clock per sweep stage (reset/printed by the cleaning
+# loop's stage accounting; purely observational)
+SWEEP_STAGE_SECONDS = {
+    "path_search": 0.0,
+    "path_filter": 0.0,
+    "sketches": 0.0,
+    "corrections": 0.0,
+}
+
+
 def correct_low_coverage_paths(
     graph,
     fastq_data,
@@ -723,6 +837,8 @@ def correct_low_coverage_paths(
 ):
     """One bubble-popping sweep over every component
     (construct_graph.py:2196-2250)."""
+    import time as _time
+
     assert graph.get_gene_positions()
     potential_bubble_starts = identify_potential_bubble_starts(graph)
     max_distance = graph.get_kmerSize() * 4
@@ -733,17 +849,24 @@ def correct_low_coverage_paths(
         if component not in potential_bubble_starts:
             continue
         starts = potential_bubble_starts[component]
+        t0 = _time.time()
         unique_paths = get_all_paths_between_junctions_in_component(
             graph, starts, max_distance
         )
+        t1 = _time.time()
+        SWEEP_STAGE_SECONDS["path_search"] += t1 - t0
         filtered = filter_paths_between_bubble_starts(graph, unique_paths)
         sorted_filtered = sorted(filtered, key=lambda x: len(x[0]))
+        t2 = _time.time()
+        SWEEP_STAGE_SECONDS["path_filter"] += t2 - t1
         if use_minimizers:
             path_minimizers = get_minhashes_for_paths(
                 graph, sorted_filtered, fastq_data
             )
         else:
             path_minimizers = None
+        t3 = _time.time()
+        SWEEP_STAGE_SECONDS["sketches"] += t3 - t2
         binned = separate_paths_by_terminal_nodes(sorted_filtered)
         path_coverages += correct_bubble_paths(
             graph,
@@ -753,6 +876,7 @@ def correct_low_coverage_paths(
             genesOfInterest,
             min_path_coverage,
         )
+        SWEEP_STAGE_SECONDS["corrections"] += _time.time() - t3
     return (
         graph.get_reads(),
         graph.get_gene_positions(),

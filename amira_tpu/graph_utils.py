@@ -49,6 +49,10 @@ def iterative_bubble_popping(
     prev_nodes = 0
     components_to_skip: set = set()
     stage_s = {"build": 0.0, "filter_correct": 0.0, "tips": 0.0, "bubbles": 0.0}
+    from amira_tpu import bubbles as _bubbles
+
+    for _k in _bubbles.SWEEP_STAGE_SECONDS:
+        _bubbles.SWEEP_STAGE_SECONDS[_k] = 0.0
 
     def _tick():
         return _time.time()
@@ -121,6 +125,11 @@ def iterative_bubble_popping(
         )
         stage_s["bubbles"] += _tick() - t0
     # annotate the enclosing graph_cleaning phase entry (if one is open)
+    from amira_tpu.bubbles import SWEEP_STAGE_SECONDS
+
+    stage_s.update(
+        {f"bubbles.{k}": v for k, v in SWEEP_STAGE_SECONDS.items()}
+    )
     for _name, _start, entry in TIMER._stack:
         if _name == "graph_cleaning":
             entry["stages"] = {k: round(v, 1) for k, v in stage_s.items()}

@@ -139,3 +139,52 @@ def test_read_kmer_index_span_lookup_matches_minhash():
         mh.add_sequence(seq[s : e + 1])
         got = set(span_hashes(idx, s, e, ksize=11).tolist())
         assert got == mh.hashes, (s, e)
+
+
+def test_batched_path_filter_matches_scalar():
+    """The rolling-hash containment screen equals the posting-index filter
+    on random path sets — including nested containment chains, reversed
+    (no-dir-flip) containment, and mutual equal-length reversal pairs."""
+    import random
+
+    import numpy as np
+
+    from amira_tpu.bubbles import (
+        _filter_paths_scalar,
+        filter_paths_between_bubble_starts,
+    )
+
+    class _FakeNode:
+        def __init__(self, cov):
+            self.coverage = cov
+
+    class _FakeGraph:
+        def __init__(self):
+            self._cov = {}
+
+        def get_node_by_hash(self, h):
+            return _FakeNode(self._cov.setdefault(h, (h % 7) + 1))
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        hashes = [rng.getrandbits(64) for _ in range(12)]
+        paths = set()
+        for _ in range(40):
+            ln = rng.randint(2, 8)
+            p = tuple(
+                (rng.choice(hashes), rng.choice((1, -1))) for _ in range(ln)
+            )
+            paths.add(p)
+            if rng.random() < 0.5 and ln > 3:
+                # guaranteed containment: a contiguous slice as its own path
+                s = rng.randrange(0, ln - 2)
+                e = rng.randint(s + 2, ln)
+                paths.add(p[s:e])
+            if rng.random() < 0.3:
+                paths.add(tuple(reversed(p)))  # mutual reversal pair
+        unique_paths = list(paths)
+        g1, g2 = _FakeGraph(), _FakeGraph()
+        got = filter_paths_between_bubble_starts(g1, list(unique_paths))
+        want = _filter_paths_scalar(g2, list(unique_paths))
+        key = lambda fp: sorted((p, c) for p, c in fp)  # noqa: E731
+        assert key(got) == key(want), seed
