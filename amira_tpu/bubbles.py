@@ -157,9 +157,12 @@ def get_all_paths_between_junctions_in_component(
     )
     ptr = np.zeros(2 * n + 1, np.int64)
     np.cumsum(deg, out=ptr[1:])
+    # states fit int32 (node counts are thousands); the frontier matrices
+    # reach millions of rows at 500k-read coverage, so element width is
+    # directly memory bandwidth
     flat_succ = np.fromiter(
         (s for lst in succ_lists for s in lst),
-        dtype=np.int64,
+        dtype=np.int32,
         count=int(ptr[-1]),
     )
     is_junction = np.zeros(n, bool)
@@ -175,7 +178,7 @@ def get_all_paths_between_junctions_in_component(
             for h, d in bubble_starts
             if h in idx_of
         ),
-        dtype=np.int64,
+        dtype=np.int32,
     )
     frontier = starts_arr[:, None]  # (P, depth) state rows
     start_of = np.arange(len(starts_arr))  # index into bubble_starts
@@ -232,8 +235,8 @@ def get_all_paths_between_junctions_in_component(
     level_rows = []
     dir_memo: dict = {}
     for mat, st in recorded:
-        stop_idx = mat[:, -1] >> 1
-        prev_idx = mat[:, -2] >> 1
+        stop_idx = (mat[:, -1] >> 1).astype(np.int64)
+        prev_idx = (mat[:, -2] >> 1).astype(np.int64)
         pair = prev_idx * n + stop_idx
         uniq_pairs, inv = np.unique(pair, return_inverse=True)
         ed_of_pair = np.empty(len(uniq_pairs), np.int64)
