@@ -357,55 +357,70 @@ def filter_paths_between_bubble_starts(graph, unique_paths):
     # padded token matrix; pad symbol n_sym never matches a real window
     mat = np.full((n_paths, Lmax), n_sym, np.int64)
     offs = np.concatenate([[0], np.cumsum(lens)])
-    for i in range(n_paths):
-        mat[i, : lens[i]] = tok[offs[i] : offs[i + 1]]
+    total = int(offs[-1])
+    within = np.arange(total) - np.repeat(offs[:-1], lens)
+    mat.reshape(-1)[np.repeat(np.arange(n_paths) * Lmax, lens) + within] = tok
     rng = np.random.RandomState(0xA31)
-    weights = rng.randint(1, 2**63, size=Lmax + 1, dtype=np.uint64) | 1
     sym_rand = rng.randint(0, 2**63, size=n_sym + 1, dtype=np.uint64)
     rmat = sym_rand[mat]
+    # prefix polynomial hash: H(window at o, len L) =
+    #   (pref[o+L] - pref[o]) * B^-o  with B odd (invertible mod 2^64) —
+    # every window of every length comes from ONE cumsum, O(1) apiece (a
+    # per-length windowed dot product re-scanned the whole matrix per
+    # length class and was SLOWER than the posting index it replaced)
+    B = np.uint64(0x9E3779B97F4A7C15 | 1)
+    Bpow = np.empty(Lmax + 1, np.uint64)
+    Bpow[0] = 1
+    for j in range(1, Lmax + 1):
+        Bpow[j] = Bpow[j - 1] * B
+    Binv = np.uint64(pow(int(B), -1, 1 << 64))
+    Binv_pow = np.empty(Lmax + 1, np.uint64)
+    Binv_pow[0] = 1
+    for j in range(1, Lmax + 1):
+        Binv_pow[j] = Binv_pow[j - 1] * Binv
+    pref = np.zeros((n_paths, Lmax + 1), np.uint64)
+    np.cumsum(rmat * Bpow[None, :Lmax], axis=1, out=pref[:, 1:])
     dropped = np.zeros(n_paths, bool)
     by_len: dict = {}
     for i in range(n_paths):
         by_len.setdefault(int(lens[i]), []).append(i)
-    from numpy.lib.stride_tricks import sliding_window_view
 
     for Lq, q_idx in sorted(by_len.items()):
-        hosts = np.nonzero(lens >= Lq)[0]
-        if len(hosts) == 0:
-            continue
-        w = weights[:Lq]
-        # query hashes: forward and reversed (plain reversal, no dir flip)
-        qrows = rmat[q_idx, :Lq]
-        q_hash = (qrows * w[None, :]).sum(axis=1, dtype=np.uint64)
-        qr_hash = (qrows[:, ::-1] * w[None, :]).sum(axis=1, dtype=np.uint64)
+        q_idx_arr = np.asarray(q_idx)
+        # query hashes at offset 0: forward, and plain reversal (no dir
+        # flip) hashed directly from the reversed token rows
+        q_hash = pref[q_idx_arr, Lq] - pref[q_idx_arr, 0]
+        qrows_r = rmat[q_idx_arr, :Lq][:, ::-1]
+        qr_hash = (qrows_r * Bpow[None, :Lq]).sum(axis=1, dtype=np.uint64)
         qset = np.unique(np.concatenate([q_hash, qr_hash]))
-        wins = sliding_window_view(rmat[hosts], Lq, axis=1)
-        whash = np.einsum(
-            "pwl,l->pw", wins, w, dtype=np.uint64, casting="unsafe"
-        )
-        hit = np.isin(whash, qset)
+        W = Lmax - Lq + 1
+        whash = (pref[:, Lq:] - pref[:, :-Lq]) * Binv_pow[None, :W]
+        ss = np.searchsorted(qset, whash.reshape(-1))
+        np.clip(ss, 0, len(qset) - 1, out=ss)
+        hit = (qset[ss] == whash.reshape(-1)).reshape(n_paths, W)
+        # only real windows (inside the host's length) can match
+        hit &= (np.arange(W)[None, :] + Lq) <= lens[:, None]
         hp, hw = np.nonzero(hit)
         if len(hp) == 0:
             continue
         # exact verification of every hash hit: the window must equal a
         # DIFFERENT path's row (forward or reversed)
-        qmat = mat[q_idx, :Lq]
+        qmat = mat[q_idx_arr, :Lq]
         qmat_r = qmat[:, ::-1]
         hash_to_rows: dict = {}
-        for qi in range(len(q_idx)):
+        for qi in range(len(q_idx_arr)):
             hash_to_rows.setdefault(int(q_hash[qi]), []).append(
-                (q_idx[qi], qmat[qi])
+                (int(q_idx_arr[qi]), qmat[qi])
             )
             hash_to_rows.setdefault(int(qr_hash[qi]), []).append(
-                (q_idx[qi], qmat_r[qi])
+                (int(q_idx_arr[qi]), qmat_r[qi])
             )
-        for pi, wi in zip(hp.tolist(), hw.tolist()):
-            host = int(hosts[pi])
+        for host, wi in zip(hp.tolist(), hw.tolist()):
             if dropped[host]:
                 continue
             window = mat[host, wi : wi + Lq]
             for q_id, q_row in hash_to_rows.get(
-                int(whash[pi, wi]), ()
+                int(whash[host, wi]), ()
             ):
                 # equal lengths only match as mutual reversal pairs; the
                 # scalar pass keeps whichever sorts first and drops the
@@ -417,11 +432,24 @@ def filter_paths_between_bubble_starts(graph, unique_paths):
                 ):
                     dropped[host] = True
                     break
-    return [
-        (p, calculate_path_coverage(graph, p))
-        for i, p in enumerate(unique_paths)
-        if not dropped[i] and len(p) > 2
-    ]
+    # coverage via one dict of node coverages (the per-path attribute
+    # chases through graph objects tripled the output cost); np.mean over
+    # the same Python list keeps the float result bit-identical
+    cov_of: dict = {}
+    out = []
+    for i, p in enumerate(unique_paths):
+        if dropped[i] or len(p) <= 2:
+            continue
+        vals = []
+        for nd in p[1:-1]:
+            h = nd[0]
+            c = cov_of.get(h)
+            if c is None:
+                c = graph.get_node_by_hash(h).coverage
+                cov_of[h] = c
+            vals.append(c)
+        out.append((p, float(np.mean(vals))))
+    return out
 
 
 def separate_paths_by_terminal_nodes(sorted_filtered_paths):
