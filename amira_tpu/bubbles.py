@@ -337,6 +337,14 @@ def filter_paths_between_bubble_starts(graph, unique_paths):
     n_paths = len(unique_paths)
     if n_paths == 0:
         return []
+    import os as _os
+
+    _dump = _os.environ.get("AMIRA_TPU_DUMP_PATHS")
+    if _dump:
+        import pickle
+
+        with open(_dump, "ab") as fh:
+            pickle.dump(unique_paths, fh)
     # intern (hash, dir) pair symbols exactly like stree.SequenceIndex
     lens = np.fromiter((len(p) for p in unique_paths), np.int64, n_paths)
     Lmax = int(lens.max())

@@ -754,6 +754,9 @@ def estimate_copy_numbers(
 ):
     """k-mer-depth copy numbers per allele path
     (result_utils.py:1089-1159), via the on-device k-mer engine."""
+    import time as _time
+
+    t_start = _time.time()
     outdir = os.path.join(output_dir, "AMR_allele_fastqs", "path_reads")
     os.makedirs(outdir, exist_ok=True)
     path_mapping: dict = {}
@@ -763,9 +766,15 @@ def estimate_copy_numbers(
         write_path_fastq(path_reads[path], fastq_content, outdir, i + 1)
     with open(os.path.join(outdir, "path_id_mapping.json"), "w") as o:
         o.write(json.dumps(path_mapping))
+    t0 = _time.time()
     all_seqs = [v["sequence"] for v in fastq_content.values()]
     read_depth, counter = estimate_overall_read_depth(all_seqs, k)
+    t1 = _time.time()
     sys.stderr.write(f"\namira-tpu: estimated k-mer depth = {read_depth}.\n")
+    sys.stderr.write(
+        f"\namira-tpu: copy-number stages: path_fastqs={t0 - t_start:.1f}s"
+        f" count+cutoff+histo={t1 - t0:.1f}s"
+    )
     gene_counts: dict = {}
     for i, path in path_mapping.items():
         gene_counts[i] = {}
@@ -774,6 +783,7 @@ def estimate_copy_numbers(
             if strandless in amira_alleles:
                 gene = "_".join(strandless.split("_")[:-1])
                 gene_counts[i][gene] = gene_counts[i].get(gene, 0) + 1
+    t2 = _time.time()
     normalised_depths: dict = {}
     mean_depth_per_reference: dict = {}
     for path_id, path in path_mapping.items():
@@ -789,6 +799,9 @@ def estimate_copy_numbers(
                 read_depth * gene_counts[path_id][gene]
             )
             mean_depth_per_reference[allele_name] = depth_estimate / read_depth
+    sys.stderr.write(
+        f" per_path_queries={_time.time() - t2:.1f}s\n"
+    )
     return normalised_depths, mean_depth_per_reference
 
 
