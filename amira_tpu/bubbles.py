@@ -115,7 +115,7 @@ def _get_all_paths_scalar(graph, bubble_starts, max_distance):
 
 
 def get_all_paths_between_junctions_in_component(
-    graph, bubble_starts, max_distance
+    graph, bubble_starts, max_distance, return_rows=False
 ):
     """All direction-consistent simple paths (>1 alternative) between ordered
     junction pairs, canonicalized (construct_graph.py:2066-2098).
@@ -130,7 +130,7 @@ def get_all_paths_between_junctions_in_component(
     end-dir) multiplicity > 1, first-edge end-direction lookup, and
     reverse-complement canonicalization all preserved."""
     if not bubble_starts:
-        return []
+        return ([], {}) if return_rows else []
     nodes = graph.get_nodes()
     edges = graph.get_edges()
     junction_hashes = {h for h, _d in bubble_starts}
@@ -211,7 +211,7 @@ def get_all_paths_between_junctions_in_component(
             recorded.append((frontier[rec], start_of[rec]))
 
     if not recorded:
-        return []
+        return ([], {}) if return_rows else []
     # ---- end-direction per row: the SAME first-edge lookup as the scalar
     # path, but called once per distinct (prev, stop) node pair; rows map
     # through the pair table vectorized
@@ -261,12 +261,13 @@ def get_all_paths_between_junctions_in_component(
         level_rows.append(mat[keep])
     all_keys = np.concatenate(level_keys)
     if len(all_keys) == 0:
-        return []
+        return ([], {}) if return_rows else []
     uk, inv, counts = np.unique(
         all_keys, return_inverse=True, return_counts=True
     )
     multi = counts[inv] > 1  # a path is valid iff its group has > 1 path
     out: list = []
+    row_of: dict = {}
     pos = 0
     for mat in level_rows:
         m = multi[pos : pos + mat.shape[0]]
@@ -288,15 +289,19 @@ def get_all_paths_between_junctions_in_component(
         )
         canon = np.where(take_rc[:, None], rc_mat, mat)
         canon = np.unique(canon, axis=0)
-        for row in canon.tolist():
-            out.append(
-                tuple(
-                    (hash_list[s >> 1], 1 if (s & 1) else -1) for s in row
-                )
+        for ri, row in enumerate(canon.tolist()):
+            t = tuple(
+                (hash_list[s >> 1], 1 if (s & 1) else -1) for s in row
             )
+            out.append(t)
+            if return_rows:
+                row_of[t] = canon[ri]
     # downstream tie-breaking inherits the scalar path's set-iteration
     # order, so round-trip through a set of the same tuples
-    return list(set(out))
+    result = list(set(out))
+    if return_rows:
+        return result, row_of
+    return result
 
 
 def _filter_paths_scalar(graph, unique_paths):
@@ -320,7 +325,7 @@ def _filter_paths_scalar(graph, unique_paths):
     return filtered
 
 
-def filter_paths_between_bubble_starts(graph, unique_paths):
+def filter_paths_between_bubble_starts(graph, unique_paths, path_rows=None):
     """Drop paths that contain shorter paths; keep paths of > 2 nodes with
     their interior coverage (construct_graph.py:2125-2146).
 
@@ -332,7 +337,11 @@ def filter_paths_between_bubble_starts(graph, unique_paths):
     random-weight 64-bit window hashes, exact row verification on every
     hit — instead of a per-path posting-index query (which was half the
     500k-read bubble-sweep wall-clock). Same answers as
-    `_filter_paths_scalar` (pinned by tests/test_bubbles.py)."""
+    `_filter_paths_scalar` (pinned by tests/test_bubbles.py).
+
+    `path_rows` (optional): {path_tuple: int32 state row} from the frontier
+    search — reused directly as the token matrix, skipping the per-element
+    re-interning pass."""
     unique_paths = sorted(list(unique_paths), key=len)
     n_paths = len(unique_paths)
     if n_paths == 0:
@@ -345,29 +354,42 @@ def filter_paths_between_bubble_starts(graph, unique_paths):
 
         with open(_dump, "ab") as fh:
             pickle.dump(unique_paths, fh)
-    # intern (hash, dir) pair symbols exactly like stree.SequenceIndex
     lens = np.fromiter((len(p) for p in unique_paths), np.int64, n_paths)
     Lmax = int(lens.max())
-    flat_a = np.fromiter(
-        (s[0] for p in unique_paths for s in p), np.uint64, int(lens.sum())
-    )
-    flat_b = np.fromiter(
-        (s[1] for p in unique_paths for s in p), np.int64, int(lens.sum())
-    )
-    order = np.lexsort((flat_b, flat_a))
-    sa, sb = flat_a[order], flat_b[order]
-    boundary = np.concatenate(
-        [[True], (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
-    )
-    tok = np.empty(len(flat_a), np.int64)
-    tok[order] = np.cumsum(boundary) - 1
-    n_sym = int(boundary.sum())
-    # padded token matrix; pad symbol n_sym never matches a real window
-    mat = np.full((n_paths, Lmax), n_sym, np.int64)
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    total = int(offs[-1])
-    within = np.arange(total) - np.repeat(offs[:-1], lens)
-    mat.reshape(-1)[np.repeat(np.arange(n_paths) * Lmax, lens) + within] = tok
+    if path_rows is not None:
+        # tokens = frontier search states (already injective per symbol)
+        mat = np.full((n_paths, Lmax), -1, np.int64)
+        for i, p in enumerate(unique_paths):
+            r = path_rows[p]
+            mat[i, : len(r)] = r
+        n_sym = int(mat.max()) + 1
+        mat[mat < 0] = n_sym
+    else:
+        # intern (hash, dir) pair symbols exactly like stree.SequenceIndex
+        flat_a = np.fromiter(
+            (s[0] for p in unique_paths for s in p), np.uint64,
+            int(lens.sum()),
+        )
+        flat_b = np.fromiter(
+            (s[1] for p in unique_paths for s in p), np.int64,
+            int(lens.sum()),
+        )
+        order = np.lexsort((flat_b, flat_a))
+        sa, sb = flat_a[order], flat_b[order]
+        boundary = np.concatenate(
+            [[True], (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+        )
+        tok = np.empty(len(flat_a), np.int64)
+        tok[order] = np.cumsum(boundary) - 1
+        n_sym = int(boundary.sum())
+        # padded token matrix; pad symbol never matches a real window
+        mat = np.full((n_paths, Lmax), n_sym, np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        total = int(offs[-1])
+        within = np.arange(total) - np.repeat(offs[:-1], lens)
+        mat.reshape(-1)[
+            np.repeat(np.arange(n_paths) * Lmax, lens) + within
+        ] = tok
     rng = np.random.RandomState(0xA31)
     sym_rand = rng.randint(0, 2**63, size=n_sym + 1, dtype=np.uint64)
     rmat = sym_rand[mat]
@@ -393,6 +415,11 @@ def filter_paths_between_bubble_starts(graph, unique_paths):
     for i in range(n_paths):
         by_len.setdefault(int(lens[i]), []).append(i)
 
+    # process query lengths ascending with the HOST set shrinking as paths
+    # drop — on real 500k sweeps >99% of paths die to the shortest queries,
+    # so later classes hash a few thousand rows instead of hundreds of
+    # thousands
+    alive = np.arange(n_paths)
     for Lq, q_idx in sorted(by_len.items()):
         q_idx_arr = np.asarray(q_idx)
         # query hashes at offset 0: forward, and plain reversal (no dir
@@ -400,46 +427,64 @@ def filter_paths_between_bubble_starts(graph, unique_paths):
         q_hash = pref[q_idx_arr, Lq] - pref[q_idx_arr, 0]
         qrows_r = rmat[q_idx_arr, :Lq][:, ::-1]
         qr_hash = (qrows_r * Bpow[None, :Lq]).sum(axis=1, dtype=np.uint64)
-        qset = np.unique(np.concatenate([q_hash, qr_hash]))
+        # candidate table sorted by hash for vectorized first-match lookup
+        q_all_hash = np.concatenate([q_hash, qr_hash])
+        q_all_ids = np.concatenate([q_idx_arr, q_idx_arr])
+        qfwd = mat[q_idx_arr, :Lq]
+        q_all_rows = np.concatenate([qfwd, qfwd[:, ::-1]], axis=0)
+        qord = np.argsort(q_all_hash, kind="stable")
+        qs_hash = q_all_hash[qord]
+        qs_ids = q_all_ids[qord]
+        qs_rows = q_all_rows[qord]
+        hosts = alive[lens[alive] >= Lq]
+        if len(hosts) == 0:
+            continue
         W = Lmax - Lq + 1
-        whash = (pref[:, Lq:] - pref[:, :-Lq]) * Binv_pow[None, :W]
-        ss = np.searchsorted(qset, whash.reshape(-1))
-        np.clip(ss, 0, len(qset) - 1, out=ss)
-        hit = (qset[ss] == whash.reshape(-1)).reshape(n_paths, W)
-        # only real windows (inside the host's length) can match
-        hit &= (np.arange(W)[None, :] + Lq) <= lens[:, None]
+        ph = pref[hosts]
+        whash = (ph[:, Lq:] - ph[:, :-Lq]) * Binv_pow[None, :W]
+        flat = whash.reshape(-1)
+        lo = np.searchsorted(qs_hash, flat, side="left")
+        loc = np.clip(lo, 0, len(qs_hash) - 1)
+        hit = (qs_hash[loc] == flat).reshape(len(hosts), W)
+        hit &= (np.arange(W)[None, :] + Lq) <= lens[hosts][:, None]
         hp, hw = np.nonzero(hit)
         if len(hp) == 0:
             continue
-        # exact verification of every hash hit: the window must equal a
-        # DIFFERENT path's row (forward or reversed)
-        qmat = mat[q_idx_arr, :Lq]
-        qmat_r = qmat[:, ::-1]
-        hash_to_rows: dict = {}
-        for qi in range(len(q_idx_arr)):
-            hash_to_rows.setdefault(int(q_hash[qi]), []).append(
-                (int(q_idx_arr[qi]), qmat[qi])
-            )
-            hash_to_rows.setdefault(int(qr_hash[qi]), []).append(
-                (int(q_idx_arr[qi]), qmat_r[qi])
-            )
-        for host, wi in zip(hp.tolist(), hw.tolist()):
+        host_ids = hosts[hp]
+        cand0 = loc.reshape(len(hosts), W)[hp, hw]
+        # vectorized verification against the FIRST candidate sharing the
+        # hash; ties/self-matches/collisions fall to a tiny scalar pass
+        wins = mat[host_ids[:, None], hw[:, None] + np.arange(Lq)[None, :]]
+        ok_rows = (wins == qs_rows[cand0]).all(axis=1)
+        qid0 = qs_ids[cand0]
+        tie_ok = (Lq < lens[host_ids]) | (qid0 < host_ids)
+        verified = ok_rows & tie_ok & (qid0 != host_ids)
+        dropped[host_ids[verified]] = True
+        # residual hits whose first candidate was self / tie-blocked / a
+        # collision: walk the candidate run scalar (rare)
+        resid = np.nonzero(~verified)[0]
+        for ridx in resid.tolist():
+            host = int(host_ids[ridx])
             if dropped[host]:
                 continue
+            wi = int(hw[ridx])
             window = mat[host, wi : wi + Lq]
-            for q_id, q_row in hash_to_rows.get(
-                int(whash[host, wi]), ()
-            ):
+            ci = int(cand0[ridx])
+            h = int(whash[hp[ridx], hw[ridx]])
+            while ci < len(qs_hash) and int(qs_hash[ci]) == h:
+                q_id = int(qs_ids[ci])
                 # equal lengths only match as mutual reversal pairs; the
                 # scalar pass keeps whichever sorts first and drops the
                 # other, so the later index loses the tie
                 if (
                     q_id != host
                     and (Lq < lens[host] or q_id < host)
-                    and np.array_equal(window, q_row)
+                    and np.array_equal(window, qs_rows[ci])
                 ):
                     dropped[host] = True
                     break
+                ci += 1
+        alive = alive[~dropped[alive]]
     # coverage via one dict of node coverages (the per-path attribute
     # chases through graph objects tripled the output cost); np.mean over
     # the same Python list keeps the float result bit-identical
@@ -889,12 +934,14 @@ def correct_low_coverage_paths(
             continue
         starts = potential_bubble_starts[component]
         t0 = _time.time()
-        unique_paths = get_all_paths_between_junctions_in_component(
-            graph, starts, max_distance
+        unique_paths, path_rows = get_all_paths_between_junctions_in_component(
+            graph, starts, max_distance, return_rows=True
         )
         t1 = _time.time()
         SWEEP_STAGE_SECONDS["path_search"] += t1 - t0
-        filtered = filter_paths_between_bubble_starts(graph, unique_paths)
+        filtered = filter_paths_between_bubble_starts(
+            graph, unique_paths, path_rows
+        )
         sorted_filtered = sorted(filtered, key=lambda x: len(x[0]))
         t2 = _time.time()
         SWEEP_STAGE_SECONDS["path_filter"] += t2 - t1
