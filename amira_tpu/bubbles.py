@@ -180,6 +180,9 @@ def get_all_paths_between_junctions_in_component(
         ),
         dtype=np.int32,
     )
+    import time as _time
+
+    _t = _time.time()
     frontier = starts_arr[:, None]  # (P, depth) state rows
     start_of = np.arange(len(starts_arr))  # index into bubble_starts
     recorded: list = []  # (depth-level path matrices, start indices)
@@ -209,6 +212,8 @@ def get_all_paths_between_junctions_in_component(
         rec = is_junction[frontier[:, -1] >> 1]
         if rec.any():
             recorded.append((frontier[rec], start_of[rec]))
+    SWEEP_STAGE_SECONDS["ps.frontier"] += _time.time() - _t
+    _t = _time.time()
 
     if not recorded:
         return ([], {}) if return_rows else []
@@ -266,6 +271,8 @@ def get_all_paths_between_junctions_in_component(
         all_keys, return_inverse=True, return_counts=True
     )
     multi = counts[inv] > 1  # a path is valid iff its group has > 1 path
+    SWEEP_STAGE_SECONDS["ps.group"] += _time.time() - _t
+    _t = _time.time()
     out: list = []
     row_of: dict = {}
     pos = 0
@@ -289,6 +296,8 @@ def get_all_paths_between_junctions_in_component(
         )
         canon = np.where(take_rc[:, None], rc_mat, mat)
         canon = np.unique(canon, axis=0)
+        SWEEP_STAGE_SECONDS["ps.canon"] += _time.time() - _t
+        _t = _time.time()
         for ri, row in enumerate(canon.tolist()):
             t = tuple(
                 (hash_list[s >> 1], 1 if (s & 1) else -1) for s in row
@@ -299,6 +308,7 @@ def get_all_paths_between_junctions_in_component(
     # downstream tie-breaking inherits the scalar path's set-iteration
     # order, so round-trip through a set of the same tuples
     result = list(set(out))
+    SWEEP_STAGE_SECONDS["ps.tuples"] += _time.time() - _t
     if return_rows:
         return result, row_of
     return result
@@ -907,6 +917,11 @@ SWEEP_STAGE_SECONDS = {
     "path_filter": 0.0,
     "sketches": 0.0,
     "corrections": 0.0,
+    # path_search internals
+    "ps.frontier": 0.0,
+    "ps.group": 0.0,
+    "ps.canon": 0.0,
+    "ps.tuples": 0.0,
 }
 
 

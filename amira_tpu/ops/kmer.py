@@ -292,18 +292,28 @@ _PROBED_TRANSFER_RATE: float | None = None
 def _probe_transfer_rate() -> float:
     """Measured host->device bytes/s on a 16 MB buffer (cached). The tunnel
     to the remote TPU can degrade by orders of magnitude; this probe — not a
-    hardcoded size threshold — decides host vs device counting."""
+    hardcoded size threshold — decides host vs device counting.
+
+    The queue must DRAIN first (a host readback, not block_until_ready,
+    which does not truly block through the tunnel): probing while earlier
+    pipeline phases still stream async work measures their backlog, not
+    the link, and a falsely slow reading demotes a 40 s device count to a
+    ~20 min host count. Best-of-2 for the same reason."""
     global _PROBED_TRANSFER_RATE
     if _PROBED_TRANSFER_RATE is None:
         import time
 
         buf = np.zeros(1 << 22, np.uint32)
-        jax.device_put(buf[: 1 << 10]).block_until_ready()  # wake the link
-        t0 = time.time()
-        d = jax.device_put(buf)
-        np.asarray(d[0])  # force full materialization device-side
-        dt = max(time.time() - t0, 1e-6)
-        _PROBED_TRANSFER_RATE = buf.nbytes / dt
+        # drain: a readback only completes after everything queued before it
+        np.asarray(jax.device_put(np.zeros(8, np.uint32))[0])
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            d = jax.device_put(buf)
+            np.asarray(d[0])  # force full materialization device-side
+            dt = max(time.time() - t0, 1e-6)
+            best = max(best, buf.nbytes / dt)
+        _PROBED_TRANSFER_RATE = best
     return _PROBED_TRANSFER_RATE
 
 
@@ -327,6 +337,11 @@ def _use_dense_device_count(n_codes: int, k: int) -> bool:
     try:
         rate = _probe_transfer_rate()
     except Exception:  # noqa: BLE001 — a sick tunnel must not kill the run
+        import sys
+
+        sys.stderr.write(
+            "\namira-tpu: k-mer transfer probe FAILED; host counter chosen\n"
+        )
         return False
     device_s = (
         0.375 * n_codes / max(rate, 1.0)
@@ -334,6 +349,13 @@ def _use_dense_device_count(n_codes: int, k: int) -> bool:
         + _DENSE_FIXED_SEC
     )
     host_s = n_codes / _HOST_CODES_PER_SEC
+    import sys
+
+    sys.stderr.write(
+        f"\namira-tpu: k-mer backend: probe {rate / 1e6:.0f} MB/s, projected"
+        f" device {device_s:.0f}s vs host {host_s:.0f}s ->"
+        f" {'device' if device_s < host_s else 'host'}\n"
+    )
     return device_s < host_s
 
 
