@@ -295,7 +295,17 @@ def get_all_paths_between_junctions_in_component(
             rcr[rows_i, first] < rr[rows_i, first]
         )
         canon = np.where(take_rc[:, None], rc_mat, mat)
-        canon = np.unique(canon, axis=0)
+        # row dedup via lexsort over the (few, small-int) columns —
+        # np.unique(axis=0) round-trips through a void-dtype copy + sort
+        # and alone cost ~50s of the 500k-read sweep total
+        order = np.lexsort(
+            tuple(canon[:, j] for j in range(canon.shape[1] - 1, -1, -1))
+        )
+        cs = canon[order]
+        keep_row = np.concatenate(
+            [[True], (cs[1:] != cs[:-1]).any(axis=1)]
+        )
+        canon = cs[keep_row]
         SWEEP_STAGE_SECONDS["ps.canon"] += _time.time() - _t
         _t = _time.time()
         for ri, row in enumerate(canon.tolist()):

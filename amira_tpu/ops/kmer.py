@@ -194,16 +194,23 @@ _HISTO_CAP = 1 << 20  # count-histogram bins; counts past this resolve via top_k
 
 def _pack_codes_2bit(codes: np.ndarray):
     """Host: pack base codes 16-per-uint32 plus a little-endian invalid
-    bitmask (separators / non-ACGT), so a chunk transfers at 0.375 B/code."""
+    bitmask (separators / non-ACGT), so a chunk transfers at 0.375 B/code.
+    Contiguous (N/16, 16) shift + reduce — the strided c[j::16] loop read
+    the whole buffer 16 times at stride 16 and dominated the pack."""
+    import sys as _sys
+
+    assert _sys.byteorder == "little"
     bad = codes > 3
-    c = np.where(bad, 0, codes).astype(np.uint32)
+    # bad positions carry garbage 2-bit values; the bitmask invalidates
+    # every window touching them, so masking the VALUE is unnecessary
+    c = codes & np.uint8(3)
     pad = (-len(c)) % 16
     if pad:
-        c = np.concatenate([c, np.zeros(pad, np.uint32)])
+        c = np.concatenate([c, np.zeros(pad, np.uint8)])
         bad = np.concatenate([bad, np.ones(pad, bool)])
-    words = np.zeros(len(c) // 16, np.uint32)
-    for j in range(16):
-        words |= c[j::16] << np.uint32(2 * j)
+    shifts8 = np.array([0, 2, 4, 6], np.uint8)
+    by = np.bitwise_or.reduce(c.reshape(-1, 4) << shifts8[None, :], axis=1)
+    words = by.astype(np.uint8).view(np.uint32)
     return words, np.packbits(bad, bitorder="little")
 
 
