@@ -418,16 +418,16 @@ def filter_paths_between_bubble_starts(graph, unique_paths, path_rows=None):
     # every window of every length comes from ONE cumsum, O(1) apiece (a
     # per-length windowed dot product re-scanned the whole matrix per
     # length class and was SLOWER than the posting index it replaced)
-    B = np.uint64(0x9E3779B97F4A7C15 | 1)
-    Bpow = np.empty(Lmax + 1, np.uint64)
-    Bpow[0] = 1
-    for j in range(1, Lmax + 1):
-        Bpow[j] = Bpow[j - 1] * B
-    Binv = np.uint64(pow(int(B), -1, 1 << 64))
-    Binv_pow = np.empty(Lmax + 1, np.uint64)
-    Binv_pow[0] = 1
-    for j in range(1, Lmax + 1):
-        Binv_pow[j] = Binv_pow[j - 1] * Binv
+    # powers computed in Python ints mod 2^64 (numpy would warn on the
+    # intended wraparound)
+    B = 0x9E3779B97F4A7C15 | 1
+    Binv = pow(B, -1, 1 << 64)
+    Bpow = np.array(
+        [pow(B, j, 1 << 64) for j in range(Lmax + 1)], dtype=np.uint64
+    )
+    Binv_pow = np.array(
+        [pow(Binv, j, 1 << 64) for j in range(Lmax + 1)], dtype=np.uint64
+    )
     pref = np.zeros((n_paths, Lmax + 1), np.uint64)
     np.cumsum(rmat * Bpow[None, :Lmax], axis=1, out=pref[:, 1:])
     dropped = np.zeros(n_paths, bool)
