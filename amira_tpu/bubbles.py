@@ -553,7 +553,11 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
     (read, span) occurrences; unchanged nodes additionally reuse their
     finished sketch via an exact (read, span)-list fingerprint.
     Byte-identical to per-slice MinHash.add_sequence."""
-    from amira_tpu.sketch import read_kept_kmer_index, span_hashes
+    from amira_tpu.sketch import (
+        batch_read_kept_kmer_index,
+        read_kept_kmer_index,
+        span_hashes,
+    )
 
     node_minhashes: dict = {}
     path_minimizers: dict = {}
@@ -578,6 +582,11 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
             cache_obj.read_kmer_index = read_index
     read_nodes_map = graph.get_readNodes()
     positions_map = graph.get_readNodePositions()
+    # collect every node's spans first, then hash ALL missing reads in one
+    # vectorized pass (the one-call-per-read path dominated the sweep's
+    # sketch stage on its first pass over a read set)
+    spans_of: dict = {}
+    missing: dict = {}
     for h in node_minhashes:
         node = graph.get_node_by_hash(h)
         spans = []
@@ -588,11 +597,26 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
                 if n == h and positions[i] is not None:
                     spans.append((read, positions[i][0], positions[i][1]))
         fp = tuple(spans)
-        if store is not None:
-            hit = store.get(h)
-            if hit is not None and hit[0] == fp:
+        cached = store.get(h) if store is not None else None
+        if cached is not None and cached[0] == fp:
+            continue  # fingerprint hit; resolved in the loop below
+        spans_of[h] = spans
+        for read, _s, _e in spans:
+            if read not in read_index and read not in missing:
+                missing[read] = fastq_data[read]["sequence"]
+    if missing:
+        read_index.update(
+            batch_read_kept_kmer_index(missing, ksize=11, scaled=10)
+        )
+    for h in node_minhashes:
+        if h not in spans_of:
+            hit = store.get(h) if store is not None else None
+            if hit is not None:
                 node_minhashes[h] = hit[1]
                 continue
+            spans_of[h] = []  # unreachable; defensive
+        spans = spans_of[h]
+        fp = tuple(spans)
         parts = []
         for read, s, e in spans:
             idx = read_index.get(read)

@@ -97,6 +97,74 @@ def read_kept_kmer_index(seq: str, ksize: int = 11, scaled: int = 10):
     return pos, h[pos]
 
 
+def batch_read_kept_kmer_index(seqs, ksize: int = 11, scaled: int = 10):
+    """read_kept_kmer_index for MANY reads in one vectorized pass: one
+    joined buffer ("\\n" separators invalidate boundary windows), one
+    windowing/hash/filter sweep, then per-read (positions, hashes) slices
+    of the shared arrays. Value-identical per read to the scalar function
+    (pinned by tests/test_bubbles.py) — the bubble sweep's first sketch
+    pass hashed tens of thousands of reads one call at a time.
+
+    `seqs`: {read_id: sequence}. Returns {read_id: (pos, hashes)}.
+
+    Processes ~1 MB of sequence per inner pass: the k windowing passes
+    then stay cache-resident (one giant buffer made the sweep MEMORY-bound
+    and slower than the per-read calls it replaced)."""
+    ids = list(seqs)
+    if not ids:
+        return {}
+    out: dict = {}
+    CHUNK = 1 << 20
+    group: list = []
+    size = 0
+    for r in ids:
+        group.append(r)
+        size += len(seqs[r]) + 1
+        if size >= CHUNK:
+            out.update(_batch_kept_kmer_group(seqs, group, ksize, scaled))
+            group, size = [], 0
+    if group:
+        out.update(_batch_kept_kmer_group(seqs, group, ksize, scaled))
+    return out
+
+
+def _batch_kept_kmer_group(seqs, ids, ksize: int, scaled: int):
+    lens = np.fromiter((len(seqs[r]) for r in ids), np.int64, len(ids))
+    joined = "\n".join(seqs[r] for r in ids)
+    codes = encode_dna(joined)
+    n = len(codes) - ksize + 1
+    out: dict = {}
+    if n <= 0:
+        return {r: (_EMPTY_I64, _EMPTY_U64) for r in ids}
+    bad = codes >= 4
+    cs = np.zeros(len(codes) + 1, np.int64)
+    np.cumsum(bad, out=cs[1:])
+    valid = (cs[ksize:] - cs[:-ksize]) == 0
+    cc = np.where(bad, 0, codes).astype(np.uint64)
+    fwd = np.zeros(n, dtype=np.uint64)
+    rc = np.zeros(n, dtype=np.uint64)
+    for j in range(ksize):
+        sl = cc[j : j + n]
+        fwd |= sl << np.uint64(2 * (ksize - 1 - j))
+        rc |= (np.uint64(3) - sl) << np.uint64(2 * j)
+    h = _splitmix64_np(np.minimum(fwd, rc))
+    keep = valid
+    if scaled > 1:
+        keep = keep & (h < np.uint64(2**64 // scaled))
+    pos = np.nonzero(keep)[0].astype(np.int64)
+    hk = h[pos]
+    # read r occupies joined[starts[r] : starts[r] + lens[r]]
+    starts = np.zeros(len(ids), np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    owner = np.searchsorted(starts, pos, side="right") - 1
+    local = pos - starts[owner]
+    bounds = np.searchsorted(owner, np.arange(len(ids) + 1))
+    for i, r in enumerate(ids):
+        lo, hi = bounds[i], bounds[i + 1]
+        out[r] = (local[lo:hi], hk[lo:hi])
+    return out
+
+
 def span_hashes(index, s: int, e: int, ksize: int = 11) -> np.ndarray:
     """Retained hashes of the subsequence [s, e] (inclusive) from a
     read_kept_kmer_index — identical to hashing seq[s:e+1] directly."""

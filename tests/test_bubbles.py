@@ -188,3 +188,26 @@ def test_batched_path_filter_matches_scalar():
         want = _filter_paths_scalar(g2, list(unique_paths))
         key = lambda fp: sorted((p, c) for p, c in fp)  # noqa: E731
         assert key(got) == key(want), seed
+
+
+def test_batch_read_kmer_index_matches_scalar():
+    """batch_read_kept_kmer_index equals the per-read function exactly —
+    positions and hashes — including N bases, short reads, and empties."""
+    import numpy as np
+
+    from amira_tpu.sketch import batch_read_kept_kmer_index, read_kept_kmer_index
+
+    rng = np.random.RandomState(4)
+    bases = np.array(list("ACGTN"))
+    seqs = {}
+    for i in range(50):
+        ln = int(rng.randint(0, 300))
+        seqs[f"r{i}"] = "".join(
+            rng.choice(bases, size=ln, p=[0.24, 0.24, 0.24, 0.24, 0.04])
+        )
+    got = batch_read_kept_kmer_index(seqs, ksize=11, scaled=10)
+    for r, s in seqs.items():
+        pos, h = read_kept_kmer_index(s, ksize=11, scaled=10)
+        gp, gh = got[r]
+        assert np.array_equal(gp, pos), r
+        assert np.array_equal(gh, h), r
