@@ -306,11 +306,16 @@ def _bench_polish():
             dict(list(clusters.items())[:2]), tmpdir, reference_genes,
             pheno_path, fastq, 0.9, 0.9,
         )
-        t0 = time.time()
-        df = get_alleles(
-            clusters, tmpdir, reference_genes, pheno_path, fastq, 0.9, 0.9
-        )
-        dt = time.time() - t0
+        # best-of-2: tunnel dispatch latency varies run to run (the shared
+        # host + remote-TPU link swings a single measurement by ~1.5x)
+        dt = None
+        for _ in range(2):
+            t0 = time.time()
+            df = get_alleles(
+                clusters, tmpdir, reference_genes, pheno_path, fastq, 0.9, 0.9
+            )
+            once = time.time() - t0
+            dt = once if dt is None else min(dt, once)
         assert len(df) == POLISH_CLUSTERS
         # serial path on a subsample
         with open(pheno_path) as fh:
