@@ -300,8 +300,10 @@ def _traceback_stage(tb_lwb, B: int, Lq: int, best, bi, bw, bs, dlos,
 def pallas_sw_cigar(qs, rs, qlens, dlos, W: int, interpret: bool = False):
     """Fused Pallas DP + (XLA) device traceback; drop-in twin of
     align._batched_sw_cigar with identical outputs. The Pallas stage
-    traces with x64 off (Mosaic's index plumbing 500s under global x64 —
-    see ops/pallas_sw.py) between two normally-traced XLA stages."""
+    traces with x64 off between two normally-traced XLA stages: under
+    global x64, Mosaic's index plumbing emits 64-bit iota/arith that the
+    v5e lowering grinds on (~500s trace vs seconds), and no kernel index
+    here needs more than 32 bits."""
     B, Lq = qs.shape
     qt, rt = _prep_inputs(qs, rs, qlens, dlos, W)
     with jax.enable_x64(False):

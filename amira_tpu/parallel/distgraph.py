@@ -864,17 +864,31 @@ def distributed_kmer_count(codes, k: int, devices=None):
     D = len(devices)
     mesh = jax.sharding.Mesh(np.array(devices), ("kdata",))
     n = len(codes)
-    # split points at sequence boundaries, one chunk per device
-    bounds = [0]
+    # Split points at sequence boundaries, one chunk per device. When a
+    # sequence is longer than the per-device span, no separator exists to
+    # back up to; then the next chunk overlaps the cut by k-1 codes so the
+    # boundary-spanning windows count exactly once (mirrors
+    # KmerCounter._from_codes_dense) — a plain cut dropped k-1 windows per
+    # mid-sequence boundary.
+    starts, ends = [0], []
     for d in range(1, D):
         cut = min(n, (n * d) // D)
+        cut = max(cut, starts[-1])
+        next_start = cut
         if 0 < cut < n:
-            seps = np.nonzero(codes[bounds[-1] : cut] == _SENTINEL)[0]
+            seps = np.nonzero(codes[starts[-1] : cut] == _SENTINEL)[0]
             if len(seps):
-                cut = bounds[-1] + int(seps[-1]) + 1
-        bounds.append(max(cut, bounds[-1]))
-    bounds.append(n)
-    chunks = [codes[bounds[d] : bounds[d + 1]] for d in range(D)]
+                cut = starts[-1] + int(seps[-1]) + 1
+                next_start = cut
+            elif codes[cut - 1] != _SENTINEL:
+                # mid-sequence cut: overlap by k-1 (clamped so a chunk
+                # shorter than k — which contributes no windows — cannot
+                # double-count)
+                next_start = max(cut - (k - 1), starts[-1])
+        ends.append(cut)
+        starts.append(next_start)
+    ends.append(n)
+    chunks = [codes[starts[d] : ends[d]] for d in range(D)]
     chunk_len = max(max((len(c) for c in chunks), default=1), k)
     chunk_len = ((chunk_len + 15) // 16 * 16) + 16
     words_rows, bad_rows = [], []

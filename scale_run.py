@@ -58,11 +58,21 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     t0 = time.time()
-    # the marker hashes every generation parameter, so changing the isolate
-    # shape (layout/seed/noise/...) invalidates a stale workdir under --reuse
-    gen_params = (
-        len(layout), 17, (10, 20), 400, "fast", 0.05, ("amrX", "amrY"),
+    # single source of truth: these kwargs feed BOTH make_isolate and the
+    # --reuse marker hash, so editing the generation call can never leave a
+    # stale workdir silently reused
+    gen_kwargs = dict(
+        seed=17,
+        layout=layout,
+        amr_genes=("amrX", "amrY"),
+        genes_per_read=(10, 20),
+        gene_len=400,
+        fast=True,
+        call_noise=0.05,
     )
+    gen_params = tuple(sorted(
+        (k, repr(v)) for k, v in gen_kwargs.items()
+    ))
     import hashlib
 
     param_tag = hashlib.sha1(repr(gen_params).encode()).hexdigest()[:10]
@@ -87,15 +97,7 @@ def main():
     else:
         sys.stderr.write(f"[scale] generating {args.reads} reads...\n")
         files = make_isolate(
-            args.workdir,
-            seed=17,
-            n_reads=args.reads,
-            layout=layout,
-            amr_genes=("amrX", "amrY"),
-            genes_per_read=(10, 20),
-            gene_len=400,
-            fast=True,
-            call_noise=0.05,
+            args.workdir, n_reads=args.reads, **gen_kwargs
         )
         with open(marker, "w") as fh:
             fh.write("ok\n")

@@ -323,3 +323,32 @@ def test_distributed_kmer_count_matches_host_counter():
         kmers = np.nonzero(table[:-1])[0]
         assert np.array_equal(kmers.astype(np.uint32), host.kmers)
         assert np.array_equal(table[kmers], host.counts.astype(np.uint32))
+
+
+def test_distributed_kmer_count_mid_sequence_cuts():
+    """One 20k-base sequence over 8 devices forces every shard boundary to
+    fall mid-sequence (no separator to back up to); the k-1 chunk overlap
+    must keep the boundary-spanning windows, so total window count and
+    per-bin counts match the host counter exactly. Before the overlap fix
+    this lost (D-1)*(k-1) windows."""
+    import numpy as np
+
+    from amira_tpu.ops import kmer as K
+    from amira_tpu.parallel.distgraph import distributed_kmer_count
+
+    rng = np.random.RandomState(11)
+    seqs = ["".join(rng.choice(list("ACGT"), size=20000))]
+    codes = K._concat_codes(seqs)
+    for k in (7, 9):
+        table = distributed_kmer_count(codes, k)
+        assert int(np.asarray(table[:-1]).sum()) == 20000 - k + 1
+        os.environ["AMIRA_TPU_KMER_BACKEND"] = "host"
+        try:
+            K._HOST_SORT_THRESHOLD, old = 1, K._HOST_SORT_THRESHOLD
+            host = K.KmerCounter.from_sequences(seqs, k)
+        finally:
+            K._HOST_SORT_THRESHOLD = old
+            os.environ.pop("AMIRA_TPU_KMER_BACKEND", None)
+        kmers = np.nonzero(table[:-1])[0]
+        assert np.array_equal(kmers.astype(np.uint32), host.kmers)
+        assert np.array_equal(table[kmers], host.counts.astype(np.uint32))
