@@ -307,15 +307,20 @@ def _bench_polish():
             pheno_path, fastq, 0.9, 0.9,
         )
         # best-of-2: tunnel dispatch latency varies run to run (the shared
-        # host + remote-TPU link swings a single measurement by ~1.5x)
-        dt = None
+        # host + remote-TPU link swings a single measurement by ~1.5x);
+        # both raw runs are printed so the mitigation is auditable
+        runs = []
         for _ in range(2):
             t0 = time.time()
             df = get_alleles(
                 clusters, tmpdir, reference_genes, pheno_path, fastq, 0.9, 0.9
             )
-            once = time.time() - t0
-            dt = once if dt is None else min(dt, once)
+            runs.append(time.time() - t0)
+        dt = min(runs)
+        sys.stderr.write(
+            "[bench] polish raw runs: "
+            + ", ".join(f"{r:.2f}s" for r in runs) + "\n"
+        )
         assert len(df) == POLISH_CLUSTERS
         # serial path on a subsample
         with open(pheno_path) as fh:
@@ -631,10 +636,17 @@ def _run_bench():
     # running the same cycle (imported from /root/reference)
     baseline = _baseline_reads_per_sec(reads, positions)
 
+    # every metric also lands in `metrics`, emitted on ONE final compact
+    # line so a truncated log tail still carries the full result set
+    # (round 4 lost the polish headline to a 2,000-char tail cut)
+    metrics = {}
+
     # secondary metric: batched allele polishing (alleles/s, speedup vs the
     # serial per-allele pipeline on the same kernels)
     try:
         aps, polish_speedup = _bench_polish()
+        metrics["polish_alleles_per_sec"] = round(aps, 2)
+        metrics["polish_x_serial"] = round(polish_speedup, 2)
         print(
             json.dumps(
                 {
@@ -670,6 +682,8 @@ def _run_bench():
             _span_rps, span_ratio = _bench_graph_span(files)
         finally:
             shutil.rmtree(e2e_tmp, ignore_errors=True)
+        metrics["e2e_reads_per_sec"] = round(e2e_rps, 1)
+        metrics["e2e_span_x_upstream"] = round(span_ratio, 2)
         print(
             json.dumps(
                 {
@@ -689,14 +703,27 @@ def _run_bench():
     except Exception as e:  # noqa: BLE001 — secondary metric must not kill the run
         sys.stderr.write(f"[bench] e2e stage failed: {e}\n")
 
-    # headline metric LAST on stdout
-    result = {
-        "metric": f"genemer_cleaning_cycle_reads_per_sec_{platform}",
-        "value": round(reads_per_sec, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / baseline, 2),
-    }
-    print(json.dumps(result))
+    metrics["cleaning_reads_per_sec"] = round(reads_per_sec, 1)
+    metrics["cleaning_x_upstream"] = round(reads_per_sec / baseline, 2)
+
+    # 500k ceiling numbers, when a scale_run.py run this round left its
+    # summary at the repo root (scale_run writes SCALE_RESULT.json)
+    try:
+        scale_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALE_RESULT.json"
+        )
+        if os.path.exists(scale_path):
+            with open(scale_path) as fh:
+                sc = json.load(fh)
+            metrics[f"scale_{sc['reads'] // 1000}k_reads_per_sec"] = round(
+                sc["reads_per_sec"], 1
+            )
+            metrics[f"scale_{sc['reads'] // 1000}k_seconds"] = round(
+                sc["seconds"], 1
+            )
+    except Exception as e:  # noqa: BLE001 — optional extra, never fatal
+        sys.stderr.write(f"[bench] scale summary unreadable: {e}\n")
+
     sys.stderr.write(
         f"[bench] {len(reads)} reads x {n_builds} builds "
         f"({CLEAN_ITERS} full cleaning iterations: filter+correct+tips) in "
@@ -704,6 +731,16 @@ def _run_bench():
         f"{baseline:.0f} reads/s (same cycle, per-build-equivalent) on "
         f"{platform}; {n_nodes} nodes\n"
     )
+    # headline metric LAST on stdout, with the full metric set attached so
+    # a truncated tail still captures every number
+    result = {
+        "metric": f"genemer_cleaning_cycle_reads_per_sec_{platform}",
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_sec / baseline, 2),
+        "metrics": metrics,
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

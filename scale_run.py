@@ -148,9 +148,9 @@ def main():
     clustering_s = sum(
         p["seconds"] for p in phases if "clustering" in p["phase"]
     )
-    report = args.report or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "SCALE_REPORT.md"
-    )
+    # default into the workdir: the repo-root SCALE_REPORT.md is a curated
+    # multi-round document, updated by hand from these per-run reports
+    report = args.report or os.path.join(out, "SCALE_REPORT.md")
     with open(report, "w") as fh:
         fh.write(
             f"""# 500k-read ceiling run
@@ -175,6 +175,26 @@ Clustering share: {100.0 * clustering_s / max(phase_total, 1e-9):.1f}%
 of phase time (VERDICT r2 #6 bar: <30%).
 """
         )
+    # machine-readable summary at the repo root: bench.py folds it into its
+    # final all-metrics line so the driver tail captures the 500k numbers
+    # (ceiling-scale runs only, so smoke runs can't clobber the real one)
+    summary = {
+        "reads": args.reads,
+        "seconds": round(total_s, 1),
+        "reads_per_sec": round(args.reads / total_s, 1),
+        "platform": platform,
+        "amr_rows": len(df),
+        "phases": {p["phase"]: round(p["seconds"], 1) for p in phases},
+    }
+    if args.reads >= 100_000:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "SCALE_RESULT.json",
+            ),
+            "w",
+        ) as fh:
+            json.dump(summary, fh)
     sys.stderr.write(
         f"[scale] done: {total_s:.0f}s e2e, {len(df)} AMR rows, "
         f"report -> {report}\n"
