@@ -259,6 +259,112 @@ encode_dna_c(PyObject *self, PyObject *args)
     return out;
 }
 
+/* --------------------------------------------------------- pack_dna_chunk */
+
+/* pack_dna_chunk(seqs: list[str], start: int, offset: int,
+ *                chunk_codes: int, k: int)
+ *   -> (words: bytes, bad: bytes, next_start: int, next_offset: int)
+ *
+ * Packs reads seqs[start:] (resuming mid-read at `offset` within
+ * seqs[start]) into ONE fixed-size chunk of exactly `chunk_codes` 2-bit
+ * base codes (16 per little-endian uint32 word) plus a little-endian
+ * invalid bitmask, writing one invalid sentinel code after each read so
+ * k-mer windows never span two reads. A read longer than the remaining
+ * chunk space is cut mid-read; the next chunk resumes k-1 codes earlier
+ * so boundary-spanning windows count exactly once (the same overlap rule
+ * as ops/kmer._from_codes_dense). Replaces the copy-number feed's
+ * whole-readset host pass (str join + LUT + numpy bit-pack of ~3 Gbp per
+ * 500k-read isolate) with one C pass per chunk — chunks produce the same
+ * count table as ops/kmer._pack_codes_2bit over the joined stream
+ * (reference feed: result_utils.py:1050-1141 shells to jellyfish).
+ */
+static PyObject *
+pack_dna_chunk(PyObject *self, PyObject *args)
+{
+    PyObject *seqs;
+    Py_ssize_t start, offset, chunk_codes, k;
+    if (!PyArg_ParseTuple(args, "Onnnn", &seqs, &start, &offset,
+                          &chunk_codes, &k))
+        return NULL;
+    if (!PyList_Check(seqs)) {
+        PyErr_SetString(PyExc_TypeError, "seqs must be a list of str");
+        return NULL;
+    }
+    if (chunk_codes <= 0 || chunk_codes % 16 || k < 1 ||
+        k >= chunk_codes) {
+        PyErr_SetString(PyExc_ValueError,
+                        "need chunk_codes a positive multiple of 16 "
+                        "and 1 <= k < chunk_codes");
+        return NULL;
+    }
+    Py_ssize_t n = PyList_GET_SIZE(seqs);
+    PyObject *words = PyBytes_FromStringAndSize(NULL, chunk_codes / 4);
+    PyObject *bad = PyBytes_FromStringAndSize(NULL, chunk_codes / 8);
+    if (!words || !bad) {
+        Py_XDECREF(words);
+        Py_XDECREF(bad);
+        return NULL;
+    }
+    unsigned char *wb = (unsigned char *)PyBytes_AS_STRING(words);
+    unsigned char *bb = (unsigned char *)PyBytes_AS_STRING(bad);
+    memset(wb, 0, (size_t)(chunk_codes / 4));
+    memset(bb, 0, (size_t)(chunk_codes / 8));
+
+    Py_ssize_t p = 0; /* code position within the chunk */
+    Py_ssize_t i = start, off = offset;
+    while (i < n) {
+        PyObject *s = PyList_GET_ITEM(seqs, i);
+        Py_ssize_t slen;
+        const char *cs = PyUnicode_AsUTF8AndSize(s, &slen);
+        if (!cs) {
+            Py_DECREF(words);
+            Py_DECREF(bad);
+            return NULL;
+        }
+        if (off > slen)
+            off = slen; /* defensive: stale offset past the read end */
+        Py_ssize_t remaining = slen - off;
+        Py_ssize_t space = chunk_codes - p;
+        Py_ssize_t take;
+        int cut_mid_read = 0;
+        if (remaining + 1 <= space) {
+            take = remaining;
+        } else if (space > k - 1) {
+            /* mid-read cut: fill the chunk; resume k-1 codes earlier */
+            take = space;
+            cut_mid_read = 1;
+        } else {
+            break; /* too little space to make progress; pad and return */
+        }
+        for (Py_ssize_t j = 0; j < take; j++, p++) {
+            unsigned char code = BASE_CODE[(unsigned char)cs[off + j]];
+            if (code > 3)
+                bb[p >> 3] |= (unsigned char)(1u << (p & 7));
+            else
+                wb[p >> 2] |= (unsigned char)(code << ((p & 3) * 2));
+        }
+        if (cut_mid_read) {
+            off += take - (k - 1);
+            break;
+        }
+        /* sentinel between reads (mirrors the "\n" join separator) */
+        bb[p >> 3] |= (unsigned char)(1u << (p & 7));
+        p++;
+        i++;
+        off = 0;
+    }
+    /* pad the tail invalid: whole bytes via memset, stragglers bitwise */
+    while (p < chunk_codes && (p & 7)) {
+        bb[p >> 3] |= (unsigned char)(1u << (p & 7));
+        p++;
+    }
+    if (p < chunk_codes) {
+        memset(bb + (p >> 3), 0xFF, (size_t)((chunk_codes - p) / 8));
+        p = chunk_codes;
+    }
+    return Py_BuildValue("(NNnn)", words, bad, i, off);
+}
+
 static PyMethodDef Methods[] = {
     {"parse_fastq", parse_fastq, METH_VARARGS,
      "parse_fastq(path) -> {name: (seq, qual)}"},
@@ -266,6 +372,8 @@ static PyMethodDef Methods[] = {
      "encode_reads(reads, vocab, next_id) -> (token bytes list, next_id, new_names)"},
     {"encode_dna", encode_dna_c, METH_VARARGS,
      "encode_dna(seq) -> bytes of 2-bit codes (255 invalid)"},
+    {"pack_dna_chunk", pack_dna_chunk, METH_VARARGS,
+     "pack_dna_chunk(seqs, start, chunk_codes) -> (words, bad, next_start)"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -379,6 +379,38 @@ class KmerCounter:
         self.dense = None
 
     @classmethod
+    def _from_seqs_dense(cls, seqs, k: int, min_count: int):
+        """Dense device counter fed by the native C packer: reads pack
+        straight into fixed-size 2-bit chunk buffers (no 3 Gbp host
+        join + LUT + numpy bit-pack pass — that serial feed was most of
+        the 500k copy-number phase), and each chunk upload overlaps the
+        next chunk's pack through JAX async dispatch. Table is
+        bin-for-bin identical to _from_codes_dense: reads never span
+        chunks and every inter-read gap carries an invalid sentinel."""
+        from amira_tpu.native import load as _load_native
+
+        native = _load_native()
+        if native is None or not hasattr(native, "pack_dna_chunk"):
+            return cls._from_codes_dense(_concat_codes(seqs), k, min_count)
+        self = cls(k)
+        table = jnp.zeros(4**k + 1, dtype=jnp.uint32)
+        CH = _DENSE_CHUNK
+        idx, off, n = 0, 0, len(seqs)
+        while idx < n:
+            words_b, bad_b, idx, off = native.pack_dna_chunk(
+                seqs, idx, off, CH, k
+            )
+            words = np.frombuffer(words_b, np.uint32)
+            bad = np.frombuffer(bad_b, np.uint8)
+            table = _dense_count_chunk(
+                table, jax.device_put(words), jax.device_put(bad), k
+            )
+        if min_count > 0:
+            table = _dense_filter_kernel(table, jnp.uint32(min_count))
+        self.dense = table
+        return self
+
+    @classmethod
     def _from_codes_dense(cls, codes: np.ndarray, k: int, min_count: int):
         """Dense device counter: chunk-streamed scatter-add (see module
         comment). Chunks split at separator boundaries so no window spans
@@ -419,11 +451,17 @@ class KmerCounter:
     @classmethod
     def from_sequences(cls, seqs, k: int = 15, min_count: int = 0):
         self = cls(k)
-        codes = _concat_codes(list(seqs))
+        seqs = list(seqs)
+        # the joined sentinel-separated stream is one code per base plus
+        # one separator per read — known without building it
+        n_codes = sum(len(s) for s in seqs) + len(seqs)
+        if n_codes < k:
+            return self
+        if _use_dense_device_count(n_codes, k):
+            return cls._from_seqs_dense(seqs, k, min_count)
+        codes = _concat_codes(seqs)
         if len(codes) < k:
             return self
-        if _use_dense_device_count(len(codes), k):
-            return cls._from_codes_dense(codes, k, min_count)
         if _use_host_count(len(codes)):
             # chunked: the doubling-code temporaries are ~10x the chunk
             # size, so bound the chunk (gigabase inputs would otherwise
