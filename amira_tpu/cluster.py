@@ -18,60 +18,79 @@ from amira_tpu.stree import SequenceIndex, find_sublist_indices, is_sublist
 
 
 def get_AMR_anchors(graph, AMRNodes):
-    """AMR nodes that border non-AMR context (path endpoints), including the
-    singleton/terminal-occurrence heuristics (construct_graph.py:2629-2691).
-    """
+    """AMR nodes that border non-AMR context (path endpoints), with the
+    singleton/terminal-occurrence heuristics and the 0.3 terminal-ratio
+    rule (behavioral contract: construct_graph.py:2629-2691, matched
+    bug-for-bug incl. the fw-derived backward check and the
+    stop-at-first-singleton truncation of the terminal tally).
+
+    Each distinct read is digested ONCE into (occurrence indices per AMR
+    node, per-position AMR flags) and the digest is shared across every
+    AMR node the read touches — the per-(node, read) rescan of the whole
+    node list made this O(reads x occurrences x read length)."""
     AMRNodes = set(AMRNodes)
     nodeAnchors = set()
     terminals: dict = {}
     read_nodes_map = graph.get_readNodes()
+
+    digest_cache: dict = {}
+
+    def _digest(r):
+        info = digest_cache.get(r)
+        if info is None:
+            rn = read_nodes_map[r]
+            occ: dict = {}
+            amr = np.zeros(len(rn), bool)
+            for i, nh in enumerate(rn):
+                if nh in AMRNodes:
+                    amr[i] = True
+                    occ.setdefault(nh, []).append(i)
+            info = digest_cache[r] = (occ, amr, len(rn))
+        return info
+
     for nodeHash in AMRNodes:
-        terminals[nodeHash] = []
+        term = terminals[nodeHash] = []
         node = graph.get_node_by_hash(nodeHash)
         is_anchor = False
-        singletons = []
-        forward_neighbors = graph.get_forward_neighbors(node)
-        # NOTE: the reference derives both fw_non_self and bw_non_self from
-        # the *forward* neighbors (construct_graph.py:2644-2646); we mirror
-        # that so anchor sets match.
-        fw_non_self = [n for n in forward_neighbors if n.hash != nodeHash]
-        bw_non_self = [n for n in forward_neighbors if n.hash != nodeHash]
-        if len(fw_non_self) == 0 or len(bw_non_self) == 0:
+        # both side checks intentionally derive from the FORWARD
+        # neighbors (the reference quirk at construct_graph.py:2644-2646)
+        if not any(
+            n.hash != nodeHash for n in graph.get_forward_neighbors(node)
+        ):
             nodeAnchors.add(nodeHash)
+        all_singleton = True
         for r in node.reads:
-            read_nodes = read_nodes_map[r]
-            if len(read_nodes) == 1 and read_nodes[0] == nodeHash:
-                singletons.append(True)
-                terminals[nodeHash].append(True)
+            occ, amr, ln = _digest(r)
+            if ln == 1 and nodeHash in occ:
+                # singleton read: tally a terminal and stop the scan
+                term.append(True)
                 break
-            singletons.append(False)
-            AMR_indices = [1 if n in AMRNodes else 0 for n in read_nodes]
-            for index in [i for i, n in enumerate(read_nodes) if n == nodeHash]:
-                if index != 0 and index != len(read_nodes) - 1:
-                    if AMR_indices[index - 1] == 0 or AMR_indices[index + 1] == 0:
+            all_singleton = False
+            for index in occ.get(nodeHash, ()):
+                if index != 0 and index != ln - 1:
+                    if not (amr[index - 1] and amr[index + 1]):
                         is_anchor = True
                         break
-                    terminals[nodeHash].append(False)
+                    term.append(False)
                 else:
-                    terminals[nodeHash].append(True)
+                    term.append(True)
             if is_anchor:
                 nodeAnchors.add(nodeHash)
                 break
-        if all(s is True for s in singletons) or all(
-            t is True for t in terminals[nodeHash]
-        ):
-            fwd_amr = [
-                n for n in graph.get_forward_neighbors(node) if n.hash in AMRNodes
-            ]
-            bwd_amr = [
-                n for n in graph.get_backward_neighbors(node) if n.hash in AMRNodes
-            ]
-            if len(bwd_amr) == 0 or len(fwd_amr) == 0:
+        if all_singleton or all(term):
+            has_fwd_amr = any(
+                n.hash in AMRNodes
+                for n in graph.get_forward_neighbors(node)
+            )
+            has_bwd_amr = any(
+                n.hash in AMRNodes
+                for n in graph.get_backward_neighbors(node)
+            )
+            if not (has_fwd_amr and has_bwd_amr):
                 nodeAnchors.add(nodeHash)
-    for nodeHash in terminals:
-        if len(terminals[nodeHash]) > 0:
-            if terminals[nodeHash].count(True) / len(terminals[nodeHash]) > 0.3:
-                nodeAnchors.add(nodeHash)
+    for nodeHash, term in terminals.items():
+        if term and term.count(True) / len(term) > 0.3:
+            nodeAnchors.add(nodeHash)
     return nodeAnchors
 
 

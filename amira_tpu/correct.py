@@ -111,22 +111,30 @@ def identify_path_terminals(nodes, start, end):
 
 
 def insert_elements(base_list, insert_dict):
-    """All combinations of span replacements (construct_graph.py:1166-1203)."""
-    if len(insert_dict) == 0:
+    """Every combination of replacing each (start, end) span of
+    `base_list` with one of its candidate paths (behavioral contract:
+    construct_graph.py:1166-1203; spans arrive disjoint and in ascending
+    position order from identify_path_terminals).
+
+    Expressed as segment stitching: the kept gaps between spans are
+    sliced once up front and each combination is a single concatenation
+    — no per-combination in-place delete/insert with running offsets."""
+    if not insert_dict:
         return [base_list]
-    lists_with_keys = [
-        [(key, element) for element in lst] for key, lst in insert_dict.items()
-    ]
-    combos = list(product(*lists_with_keys))
+    spans = list(insert_dict)
+    gaps = []
+    prev_end = 0
+    for s, e in spans:
+        gaps.append(base_list[prev_end:s])
+        prev_end = e + 1
+    tail = base_list[prev_end:]
     results = []
-    for combination in combos:
-        lst = base_list[:]
-        offset = 0
-        for (s, e), path in combination:
-            point = s + offset
-            del lst[point : e + offset + 1]
-            lst[point:point] = path
-            offset += len(path) - (e - s + 1)
+    for combo in product(*(insert_dict[sp] for sp in spans)):
+        lst: list = []
+        for gap, path in zip(gaps, combo):
+            lst += gap
+            lst += path
+        lst += tail
         results.append(lst)
     return results
 

@@ -852,56 +852,69 @@ def filter_results(
         )
     else:
         skip_depth_filtering = False
+    import pandas as pd
+
     required_coverage = required_coverage * 100
     required_identity = required_identity * 100
-    for _index, row in result_df.iterrows():
-        flags = []
-        if isinstance(row["Identity (%)"], str) and "/" in row["Identity (%)"]:
-            identity = float(row["Identity (%)"].split("/")[0])
+
+    def _leading_float(v):
+        # "polished/reference" pairs arrive as "a/b" strings; the leading
+        # number is the filter subject (contract: result_utils.py:137-151)
+        return float(v.split("/")[0]) if isinstance(v, str) and "/" in v else v
+
+    identity = result_df["Identity (%)"].map(_leading_float)
+    coverage = result_df["Coverage (%)"].map(_leading_float)
+    fail_id = identity < required_identity
+    fail_cov = ~fail_id & (coverage < required_coverage)
+    if skip_depth_filtering:
+        fail_depth = pd.Series(False, index=result_df.index)
+    else:
+        fail_depth = (
+            ~fail_id
+            & ~fail_cov
+            & (result_df["Relative mean read depth"] < min_relative_depth)
+        )
+    dead = fail_id | fail_cov | fail_depth
+    for idx in result_df.index[dead]:
+        allele = result_df.at[idx, "Amira allele"]
+        if fail_id.at[idx]:
+            reason, value = "similarity", identity.at[idx]
+        elif fail_cov.at[idx]:
+            reason, value = "coverage", coverage.at[idx]
         else:
-            identity = row["Identity (%)"]
-        if identity < required_identity:
-            sys.stderr.write(
-                f"\namira-tpu: allele {row['Amira allele']} removed due to "
-                f"insufficient similarity ({identity}).\n"
-            )
-            alleles_to_delete.append(row["Amira allele"])
-            continue
-        if isinstance(row["Coverage (%)"], str) and "/" in row["Coverage (%)"]:
-            coverage = float(row["Coverage (%)"].split("/")[0])
-        else:
-            coverage = row["Coverage (%)"]
-        if coverage < required_coverage:
-            sys.stderr.write(
-                f"\namira-tpu: allele {row['Amira allele']} removed due to "
-                f"insufficient coverage ({coverage}).\n"
-            )
-            alleles_to_delete.append(row["Amira allele"])
-            continue
-        if skip_depth_filtering is False:
-            relative_depth = row["Relative mean read depth"]
-            if relative_depth < min_relative_depth:
-                sys.stderr.write(
-                    f"\namira-tpu: allele {row['Amira allele']} removed due "
-                    f"to insufficient relative read depth ({relative_depth}).\n"
-                )
-                alleles_to_delete.append(row["Amira allele"])
-                continue
-        if coverage < 90:
-            flags.append("Partially present gene.")
-        reads = supplemented_clusters[row["Amira allele"]]
-        if all(
-            all(
+            reason = "relative read depth"
+            value = result_df.at[idx, "Relative mean read depth"]
+        sys.stderr.write(
+            f"\namira-tpu: allele {allele} removed due to "
+            f"insufficient {reason} ({value}).\n"
+        )
+        alleles_to_delete.append(allele)
+
+    # a source read supports the contaminant flag iff every gene it
+    # carries is of interest; computed once per distinct source read
+    goi_only: dict = {}
+
+    def _source_goi_only(member):
+        src = "_".join(member.split("_")[:-2])
+        v = goi_only.get(src)
+        if v is None:
+            v = goi_only[src] = all(
                 g[1:] in sample_genesOfInterest
-                for g in annotatedReads.get("_".join(r.split("_")[:-2]), [])
+                for g in annotatedReads.get(src, [])
             )
-            for r in reads
-        ):
+        return v
+
+    for idx in result_df.index[~dead]:
+        flags = []
+        if coverage.at[idx] < 90:
+            flags.append("Partially present gene.")
+        members = supplemented_clusters[result_df.at[idx, "Amira allele"]]
+        if all(_source_goi_only(m) for m in members):
             flags.append("Potential contaminant.")
         comments.append(" ".join(flags))
     for amira_allele in alleles_to_delete:
         del supplemented_clusters[amira_allele]
-        result_df = result_df[result_df["Amira allele"] != amira_allele]
+    result_df = result_df[~dead].copy()
     result_df["Comments"] = comments
     return result_df
 
