@@ -185,7 +185,23 @@ def make_isolate(
     plasmid_path = os.path.join(tmpdir, "plasmid_genes.txt")
     with open(plasmid_path, "w") as o:
         o.write("")
+    # ground truth for accuracy measurement (accuracy_run.py): the true
+    # nucleotide sequence of every AMR allele and its genomic copy count
+    truth_path = os.path.join(tmpdir, "truth.json")
+    with open(truth_path, "w") as o:
+        json.dump(
+            {
+                "allele_seqs": {g: gene_seqs[g] for g in amr_genes},
+                "copy_counts": {
+                    g: layout.count(g) for g in amr_genes
+                },
+                "sub": sub,
+                "indel": indel,
+            },
+            o,
+        )
     return {
+        "truth": truth_path,
         "calls": calls_path,
         "positions": pos_path,
         "fastq": fastq_path,

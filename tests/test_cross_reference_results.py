@@ -228,3 +228,115 @@ def test_filter_results_rows_match_upstream(tmp_path):
     assert list(ours["Comments"]) == [
         "", "", "Partially present gene.", "Potential contaminant.",
     ]
+
+
+def _amr_genes(calls, min_count):
+    counts: dict = {}
+    for genes in calls.values():
+        for g in set(genes):
+            counts[g[1:]] = counts.get(g[1:], 0) + 1
+    return sorted(
+        g for g, c in counts.items() if c >= min_count and "NG_" in g
+    )
+
+
+def _fixture_inputs_files(calls_file, pos_file):
+    calls = _load(calls_file)
+    positions = _load(pos_file)
+    positions = {r: [tuple(p) for p in positions[r]] for r in positions}
+    rng = np.random.RandomState(41)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    master = lut[rng.randint(0, 4, size=2_000_000)].tobytes().decode()
+    fastq = {}
+    for i, (r, pos) in enumerate(sorted(positions.items())):
+        span = (pos[-1][1] + 1) if pos else 1
+        off = (i * 9973) % max(1, len(master) - span - 1)
+        seq = master[off : off + span]
+        fastq[r] = {"sequence": seq, "quality": "I" * len(seq)}
+    return calls, positions, fastq
+
+
+def test_results_layer_junction_fixture_exact_parity(tmp_path):
+    """The 47-read junction fixture (reads seen in both orientations —
+    where the documented clustering divergences live): the results layer
+    is EXACTLY parity with the upstream run — same supplemented alleles,
+    same member spans, same longest-read picks."""
+    RefGraph = install_reference_shims()
+    from amira.result_utils import process_reads as ref_process_reads
+    from amira.result_utils import (
+        write_fastqs_for_genes as ref_write_fastqs,
+    )
+
+    from amira_tpu.graph import GeneMerGraph
+    from amira_tpu.results import process_reads, write_fastqs_for_genes
+
+    calls, positions, fastq = _fixture_inputs_files(
+        "test_path_calls.json", "test_path_positions.json"
+    )
+    genes = _amr_genes(calls, 2)
+    assert genes  # blaCMY54NG_0488491
+    ref_dir = str(tmp_path / "ref")
+    our_dir = str(tmp_path / "ours")
+    os.makedirs(os.path.join(ref_dir, "AMR_allele_fastqs"), exist_ok=True)
+    os.makedirs(os.path.join(our_dir, "AMR_allele_fastqs"), exist_ok=True)
+    r_coi, r_add, _rl, r_supp, _rf = _run_side(
+        RefGraph, ref_process_reads, ref_write_fastqs, calls, positions,
+        fastq, genes, ref_dir,
+    )
+    o_coi, o_add, _ol, o_supp, _of = _run_side(
+        GeneMerGraph, process_reads, write_fastqs_for_genes, calls,
+        positions, fastq, genes, our_dir,
+    )
+    assert _cluster_shape(o_coi, genes) == _cluster_shape(r_coi, genes)
+    assert o_add == r_add
+    assert _supplemented_shape(o_supp, genes) == _supplemented_shape(
+        r_supp, genes
+    )
+
+
+def test_results_layer_fixture_nine_divergence_bounded(tmp_path):
+    """Fixture nine (4,832 reads, 5 AMR genes) carries the documented
+    reverse-orientation context divergence (COMPONENTS.md §2.8). Bound
+    what it can change at the RESULTS layer, upstream run vs repo:
+    identical allele COUNT per run, >= 85% of supplemented member-groups
+    byte-identical, and the span divergence one-sided in the repo's favor
+    (repo may assign MORE read spans; it may lose only a small tail).
+    Measured on this fixture: 32 vs 32 alleles, 28 identical groups,
+    11/542 spans lost, 108 gained."""
+    RefGraph = install_reference_shims()
+    from amira.result_utils import process_reads as ref_process_reads
+    from amira.result_utils import (
+        write_fastqs_for_genes as ref_write_fastqs,
+    )
+
+    from amira_tpu.graph import GeneMerGraph
+    from amira_tpu.results import process_reads, write_fastqs_for_genes
+
+    calls, positions, fastq = _fixture_inputs_files(
+        "complex_gene_calls_nine.json", "complex_gene_positions_nine.json"
+    )
+    genes = _amr_genes(calls, 3)
+    assert len(genes) >= 5
+    ref_dir = str(tmp_path / "ref")
+    our_dir = str(tmp_path / "ours")
+    os.makedirs(os.path.join(ref_dir, "AMR_allele_fastqs"), exist_ok=True)
+    os.makedirs(os.path.join(our_dir, "AMR_allele_fastqs"), exist_ok=True)
+    _rc, r_add, _rl, r_supp, _rf = _run_side(
+        RefGraph, ref_process_reads, ref_write_fastqs, calls, positions,
+        fastq, genes, ref_dir,
+    )
+    _oc, o_add, _ol, o_supp, _of = _run_side(
+        GeneMerGraph, process_reads, write_fastqs_for_genes, calls,
+        positions, fastq, genes, our_dir,
+    )
+    assert o_add == r_add
+    rs = set(_supplemented_shape(r_supp, genes))
+    os_ = set(_supplemented_shape(o_supp, genes))
+    assert len(rs) == len(os_)  # same number of recovered alleles
+    assert len(rs & os_) >= int(0.85 * len(rs))
+    r_spans = {m for _g, ms in rs for m in ms}
+    o_spans = {m for _g, ms in os_ for m in ms}
+    lost = len(r_spans - o_spans)
+    assert lost <= max(3, int(0.04 * len(r_spans))), (
+        f"repo lost {lost} of {len(r_spans)} upstream spans"
+    )
