@@ -219,6 +219,30 @@ def _map_offsets_to_contig(contig: str, seqs: dict, k: int = 15,
     return out
 
 
+def _junction_supported(
+    contig: str, oriented: dict, j: int, k: int = 15, min_hits: int = 2,
+):
+    """True iff some single read contains >= min_hits of the k-mers that
+    CROSS position j — spanning-read evidence for an appended junction.
+    Merely placing a read across j is not enough: with interspersed
+    repeats a read can vote-place onto the junction region through its
+    repeat half alone while the other side mismatches, and a read may
+    contain both sides' k-mers WITHOUT their adjacency (e.g. a genuine
+    A|R-junction read has all the k-mers of a fabricated R|A junction but
+    none crossing it). Only junction-crossing k-mers prove adjacency."""
+    lo = max(j - (k - 1), 0)
+    hi = min(j + (k - 1), len(contig))
+    w = contig[lo:hi]
+    cross = {w[i : i + k] for i in range(max(0, len(w) - k + 1))}
+    if not cross:
+        return True
+    for s in oriented.values():
+        hits = sum(1 for c in cross if c in s)
+        if hits >= min_hits:
+            return True
+    return False
+
+
 def _extend_contig_through_repeats(
     contig: str, members: list, oriented: dict, k: int = 15,
     min_votes: int = 6, min_overhang: int = 50, max_rounds: int = 40,
@@ -234,13 +258,14 @@ def _extend_contig_through_repeats(
     when no supported overhang remains."""
     members = list(members)
     total_cap = len(contig) + sum(len(s) for s in oriented.values())
+    right_dead = left_dead = False
     for _ in range(max_rounds):
         if len(contig) > total_cap:
             break
         placed = _map_offsets_to_contig(contig, oriented, k, min_votes=min_votes)
         grew = False
         # right end: reads whose tail hangs past the contig
-        right = [
+        right = [] if right_dead else [
             (off + len(oriented[r]) - len(contig), r, off)
             for r, (off, _v) in placed.items()
             if off + len(oriented[r]) - len(contig) >= min_overhang
@@ -263,19 +288,46 @@ def _extend_contig_through_repeats(
                 off2 for r, (off2, _v) in tmap.items()
                 if 0 <= off2 < len(contig) - min_overhang
             ]
+            j = len(contig)
             if len(reentry) >= 2:
                 s = int(np.median(reentry))
-                contig = contig + contig[max(s, 0):]
+                # the contig end usually stops a few bases SHORT of the
+                # copy junction, so the duplication must route through the
+                # tail: append the tail's unmatched prefix (read sequence,
+                # carrying the true junction), then duplicate the contig
+                # from where the tail's k-mers anchor. A bare contig[s:]
+                # duplication splices the two sides a few bases off and
+                # the crossing-k-mer validation below rightly rejects it.
+                cand = None
+                for _o2, r2, _f2 in right:
+                    t = tails.get(r2, "")
+                    for p in range(0, min(len(t) - k + 1, 3 * k)):
+                        q = contig.find(
+                            t[p : p + k],
+                            max(s + p - 160, 0),
+                            min(s + p + 160 + k, len(contig)),
+                        )
+                        if q != -1:
+                            cand = contig + t[:p] + contig[q:]
+                            break
+                    if cand is not None:
+                        break
+                if cand is None:
+                    cand = contig + contig[max(s, 0):]
             else:
                 right.sort(reverse=True)
                 _over, r, off = right[0]
-                contig = contig + oriented[r][len(contig) - off :]
-            for _o, rr, _f in right:
-                if rr not in members:
-                    members.append(rr)
-            grew = True
+                cand = contig + oriented[r][len(contig) - off :]
+            if _junction_supported(cand, oriented, j, k):
+                contig = cand
+                for _o, rr, _f in right:
+                    if rr not in members:
+                        members.append(rr)
+                grew = True
+            else:
+                right_dead = True
         # left end (mirror)
-        left = [
+        left = [] if left_dead else [
             (-off, r, off)
             for r, (off, _v) in placed.items()
             if off <= -min_overhang
@@ -293,15 +345,42 @@ def _extend_contig_through_repeats(
             ]
             if len(reentry) >= 2:
                 e = int(np.median(reentry))
-                contig = contig[: min(e, len(contig))] + contig
+                # mirror of the right end: route through the head's
+                # unmatched suffix and anchor its trailing k-mers
+                cand = None
+                prefix_len = None
+                for _o2, r2, _f2 in left:
+                    h = heads.get(r2, "")
+                    for p in range(0, min(len(h) - k + 1, 3 * k)):
+                        sub = h[len(h) - k - p : len(h) - p]
+                        q = contig.find(
+                            sub,
+                            max(e - p - 160 - k, 0),
+                            min(e - p + 160, len(contig)),
+                        )
+                        if q != -1:
+                            tail_h = h[len(h) - p :] if p else ""
+                            cand = contig[: q + k] + tail_h + contig
+                            prefix_len = q + k + p
+                            break
+                    if cand is not None:
+                        break
+                if cand is None:
+                    prefix_len = min(e, len(contig))
+                    cand = contig[:prefix_len] + contig
             else:
                 left.sort(reverse=True)
                 _over, r, off = left[0]
-                contig = oriented[r][:-off] + contig
-            for _o, rr, _f in left:
-                if rr not in members:
-                    members.append(rr)
-            grew = True
+                prefix_len = -off
+                cand = oriented[r][:-off] + contig
+            if _junction_supported(cand, oriented, prefix_len, k):
+                contig = cand
+                for _o, rr, _f in left:
+                    if rr not in members:
+                        members.append(rr)
+                grew = True
+            else:
+                left_dead = True
         if not grew:
             break
     return contig, members

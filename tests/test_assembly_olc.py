@@ -155,3 +155,49 @@ def test_interspersed_repeat_does_not_misjoin():
         for s in range(0, max(1, len(seq) - 500), 100):
             win = seq[s : s + 500]
             assert win in truth, "fabricated junction not present in truth"
+
+
+def test_interspersed_repeat_resolved_with_spanning_reads():
+    """An interspersed repeat (A R B R C) IS resolvable when reads span a
+    full repeat copy plus unique flanks (the spanning-read half of Flye's
+    repeat resolution, result_utils.py:1267-1288): the assembly must cover
+    the full genome and every junction must exist in the truth — on
+    either strand."""
+    rng = np.random.RandomState(29)
+    A = _genome(rng, 600)
+    R = _genome(rng, 900)
+    B = _genome(rng, 600)
+    C = _genome(rng, 600)
+    truth = A + R + B + R + C
+    both = truth + "#" + reverse_complement(truth)
+    reads = _tile_reads(rng, truth, read_len=1050, step=80, rc_fraction=0.0)
+    contigs = assemble_reads(reads, min_votes=5)
+    contigs.sort(key=lambda c: -len(c[0]))
+    longest = contigs[0][0]
+    assert len(longest) >= len(truth) - 100
+    for s in range(0, max(1, len(longest) - 500), 50):
+        assert longest[s : s + 500] in both, "fabricated junction"
+
+
+def test_interspersed_repeat_mixed_strand_no_chimera():
+    """Half the spanning reads reverse-complemented (the regression case:
+    extension used to fabricate an R|A junction present in no read, and
+    the contig merge amplified it into a 4.4 kb chimera). Junction-crossing
+    k-mer validation must keep every contig window on-genome."""
+    for seed in (13, 3):
+        rng = np.random.RandomState(seed)
+        A = _genome(rng, 600)
+        R = _genome(rng, 900)
+        B = _genome(rng, 600)
+        C = _genome(rng, 600)
+        truth = A + R + B + R + C
+        both = truth + "#" + reverse_complement(truth)
+        reads = _tile_reads(
+            rng, truth, read_len=1300, step=80, rc_fraction=0.5
+        )
+        contigs = assemble_reads(reads, min_votes=5)
+        contigs.sort(key=lambda c: -len(c[0]))
+        longest = contigs[0][0]
+        assert len(longest) >= len(truth) - 100
+        for s in range(0, max(1, len(longest) - 500), 50):
+            assert longest[s : s + 500] in both, "fabricated junction"
