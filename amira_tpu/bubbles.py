@@ -115,7 +115,8 @@ def _get_all_paths_scalar(graph, bubble_starts, max_distance):
 
 
 def get_all_paths_between_junctions_in_component(
-    graph, bubble_starts, max_distance, return_rows=False
+    graph, bubble_starts, max_distance, return_rows=False,
+    return_matrices=False,
 ):
     """All direction-consistent simple paths (>1 alternative) between ordered
     junction pairs, canonicalized (construct_graph.py:2066-2098).
@@ -130,6 +131,8 @@ def get_all_paths_between_junctions_in_component(
     end-dir) multiplicity > 1, first-edge end-direction lookup, and
     reverse-complement canonicalization all preserved."""
     if not bubble_starts:
+        if return_matrices:
+            return [], []
         return ([], {}) if return_rows else []
     nodes = graph.get_nodes()
     edges = graph.get_edges()
@@ -216,6 +219,8 @@ def get_all_paths_between_junctions_in_component(
     _t = _time.time()
 
     if not recorded:
+        if return_matrices:
+            return [], hash_list
         return ([], {}) if return_rows else []
     # ---- end-direction per row: the SAME first-edge lookup as the scalar
     # path, but called once per distinct (prev, stop) node pair; rows map
@@ -229,12 +234,14 @@ def get_all_paths_between_junctions_in_component(
             stop_plus[i] = 1 in ds
             stop_minus[i] = -1 in ds
     # canonical-order rank of each (node, dirbit) state under the Python
-    # tuple ordering (hash first, then dir with -1 < +1 == bit 0 < 1)
+    # tuple ordering (hash first, then dir with -1 < +1 == bit 0 < 1);
+    # int32: state counts are at most millions, and the rank matrices
+    # reach (paths x depth) — element width is memory bandwidth
     state_hash = np.repeat(hash_arr, 2)
     state_bit = np.tile(np.array([0, 1], np.int64), n)
     order = np.lexsort((state_bit, state_hash))
-    rank = np.empty(2 * n, np.int64)
-    rank[order] = np.arange(2 * n)
+    rank = np.empty(2 * n, np.int32)
+    rank[order] = np.arange(2 * n, dtype=np.int32)
 
     level_keys = []
     level_rows = []
@@ -266,6 +273,8 @@ def get_all_paths_between_junctions_in_component(
         level_rows.append(mat[keep])
     all_keys = np.concatenate(level_keys)
     if len(all_keys) == 0:
+        if return_matrices:
+            return [], hash_list
         return ([], {}) if return_rows else []
     uk, inv, counts = np.unique(
         all_keys, return_inverse=True, return_counts=True
@@ -273,8 +282,12 @@ def get_all_paths_between_junctions_in_component(
     multi = counts[inv] > 1  # a path is valid iff its group has > 1 path
     SWEEP_STAGE_SECONDS["ps.group"] += _time.time() - _t
     _t = _time.time()
-    out: list = []
-    row_of: dict = {}
+    # packed-key width: every state fits `bits`, so `per` states pack into
+    # one uint64 sort key — the per-column lexsort re-scanned every row
+    # once per depth column and dominated the 500k path search
+    bits = int((2 * n)).bit_length()
+    per = max(1, 64 // bits)
+    levels_out: list = []
     pos = 0
     for mat in level_rows:
         m = multi[pos : pos + mat.shape[0]]
@@ -295,19 +308,37 @@ def get_all_paths_between_junctions_in_component(
             rcr[rows_i, first] < rr[rows_i, first]
         )
         canon = np.where(take_rc[:, None], rc_mat, mat)
-        # row dedup via lexsort over the (few, small-int) columns —
-        # np.unique(axis=0) round-trips through a void-dtype copy + sort
-        # and alone cost ~50s of the 500k-read sweep total
-        order = np.lexsort(
-            tuple(canon[:, j] for j in range(canon.shape[1] - 1, -1, -1))
-        )
-        cs = canon[order]
+        # row dedup via lexsort over PACKED uint64 keys (identical order
+        # to column-lexicographic since all values < 2^bits): ~3x fewer
+        # sort passes than one per depth column, and np.unique(axis=0)'s
+        # void-dtype round-trip was slower still
+        P, D = canon.shape
+        K = (D + per - 1) // per
+        keys = np.empty((P, K), np.uint64)
+        for kk in range(K):
+            seg = canon[:, kk * per : (kk + 1) * per].astype(np.uint64)
+            acc = np.zeros(P, np.uint64)
+            for c in range(per):
+                acc <<= np.uint64(bits)
+                if c < seg.shape[1]:
+                    acc |= seg[:, c]
+            keys[:, kk] = acc
+        order = np.lexsort(tuple(keys[:, kk] for kk in range(K - 1, -1, -1)))
+        ks = keys[order]
         keep_row = np.concatenate(
-            [[True], (cs[1:] != cs[:-1]).any(axis=1)]
+            [[True], (ks[1:] != ks[:-1]).any(axis=1)]
         )
-        canon = cs[keep_row]
-        SWEEP_STAGE_SECONDS["ps.canon"] += _time.time() - _t
-        _t = _time.time()
+        levels_out.append(canon[order][keep_row])
+    SWEEP_STAGE_SECONDS["ps.canon"] += _time.time() - _t
+    _t = _time.time()
+    if return_matrices:
+        # fast path: the containment filter consumes the int32 rows and
+        # materializes tuples for survivors only (>99% of paths drop)
+        SWEEP_STAGE_SECONDS["ps.tuples"] += _time.time() - _t
+        return levels_out, hash_list
+    out: list = []
+    row_of: dict = {}
+    for canon in levels_out:
         for ri, row in enumerate(canon.tolist()):
             t = tuple(
                 (hash_list[s >> 1], 1 if (s & 1) else -1) for s in row
@@ -315,8 +346,8 @@ def get_all_paths_between_junctions_in_component(
             out.append(t)
             if return_rows:
                 row_of[t] = canon[ri]
-    # downstream tie-breaking inherits the scalar path's set-iteration
-    # order, so round-trip through a set of the same tuples
+    # legacy tuple API (oracle/parity tests): preserve the historical
+    # set-round-trip ordering
     result = list(set(out))
     SWEEP_STAGE_SECONDS["ps.tuples"] += _time.time() - _t
     if return_rows:
@@ -410,6 +441,73 @@ def filter_paths_between_bubble_starts(graph, unique_paths, path_rows=None):
         mat.reshape(-1)[
             np.repeat(np.arange(n_paths) * Lmax, lens) + within
         ] = tok
+    dropped = _containment_drop_mask(mat, lens, n_sym)
+    # coverage via one dict of node coverages (the per-path attribute
+    # chases through graph objects tripled the output cost); np.mean over
+    # the same Python list keeps the float result bit-identical
+    cov_of: dict = {}
+    out = []
+    for i, p in enumerate(unique_paths):
+        if dropped[i] or len(p) <= 2:
+            continue
+        vals = []
+        for nd in p[1:-1]:
+            h = nd[0]
+            c = cov_of.get(h)
+            if c is None:
+                c = graph.get_node_by_hash(h).coverage
+                cov_of[h] = c
+            vals.append(c)
+        out.append((p, float(np.mean(vals))))
+    return out
+
+
+def filter_path_matrices(graph, levels, hash_list):
+    """Containment filter straight on the frontier search's canonical
+    int32 row matrices (the production sweep path): identical answers to
+    `filter_paths_between_bubble_starts`, but path tuples materialize for
+    SURVIVORS only — on 500k-read sweeps >99% of paths drop, and the
+    per-path Python tuple materialization alone cost ~9s/sweep."""
+    n_paths = sum(lv.shape[0] for lv in levels)
+    if n_paths == 0:
+        return []
+    Lmax = max(lv.shape[1] for lv in levels)
+    mat = np.full((n_paths, Lmax), -1, np.int64)
+    lens = np.empty(n_paths, np.int64)
+    pos = 0
+    for lv in levels:  # levels ascend in depth == rows sorted by length
+        P, D = lv.shape
+        mat[pos : pos + P, :D] = lv
+        lens[pos : pos + P] = D
+        pos += P
+    n_sym = int(mat.max()) + 1
+    mat[mat < 0] = n_sym
+    dropped = _containment_drop_mask(mat, lens, n_sym)
+    cov_of: dict = {}
+    out = []
+    for i in np.nonzero(~dropped & (lens > 2))[0].tolist():
+        row = mat[i, : lens[i]].tolist()
+        p = tuple(
+            (hash_list[s >> 1], 1 if (s & 1) else -1) for s in row
+        )
+        vals = []
+        for h, _d in p[1:-1]:
+            c = cov_of.get(h)
+            if c is None:
+                c = graph.get_node_by_hash(h).coverage
+                cov_of[h] = c
+            vals.append(c)
+        out.append((p, float(np.mean(vals))))
+    return out
+
+
+def _containment_drop_mask(mat, lens, n_sym):
+    """Shared core of the batched containment screen: drop path i iff some
+    OTHER path (forward or plain-reversed) occurs contiguously inside it.
+    `mat` is the padded symbol matrix sorted by ascending row length with
+    pad symbol n_sym; returns the boolean drop mask."""
+    n_paths = mat.shape[0]
+    Lmax = mat.shape[1]
     rng = np.random.RandomState(0xA31)
     sym_rand = rng.randint(0, 2**63, size=n_sym + 1, dtype=np.uint64)
     rmat = sym_rand[mat]
@@ -505,24 +603,7 @@ def filter_paths_between_bubble_starts(graph, unique_paths, path_rows=None):
                     break
                 ci += 1
         alive = alive[~dropped[alive]]
-    # coverage via one dict of node coverages (the per-path attribute
-    # chases through graph objects tripled the output cost); np.mean over
-    # the same Python list keeps the float result bit-identical
-    cov_of: dict = {}
-    out = []
-    for i, p in enumerate(unique_paths):
-        if dropped[i] or len(p) <= 2:
-            continue
-        vals = []
-        for nd in p[1:-1]:
-            h = nd[0]
-            c = cov_of.get(h)
-            if c is None:
-                c = graph.get_node_by_hash(h).coverage
-                cov_of[h] = c
-            vals.append(c)
-        out.append((p, float(np.mean(vals))))
-    return out
+    return dropped
 
 
 def separate_paths_by_terminal_nodes(sorted_filtered_paths):
@@ -584,18 +665,35 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
     positions_map = graph.get_readNodePositions()
     # collect every node's spans first, then hash ALL missing reads in one
     # vectorized pass (the one-call-per-read path dominated the sweep's
-    # sketch stage on its first pass over a read set)
+    # sketch stage on its first pass over a read set). Each read's node
+    # list is digested ONCE into per-node occurrence spans and shared by
+    # every node containing it — the per-(node, read) rescan was
+    # O(node incidences x read length). Span order (node.reads order,
+    # then position order) is unchanged, so the persistent fingerprint
+    # cache keeps hitting across builds.
+    needed = set(node_minhashes)
+    occ_of_read: dict = {}
+
+    def _occ(read):
+        o = occ_of_read.get(read)
+        if o is None:
+            rn = read_nodes_map[read]
+            pos = positions_map[read]
+            o = {}
+            for i, nh in enumerate(rn):
+                if nh in needed and pos[i] is not None:
+                    o.setdefault(nh, []).append(pos[i])
+            occ_of_read[read] = o
+        return o
+
     spans_of: dict = {}
     missing: dict = {}
     for h in node_minhashes:
         node = graph.get_node_by_hash(h)
         spans = []
         for read in node.reads:
-            read_nodes = read_nodes_map[read]
-            positions = positions_map[read]
-            for i, n in enumerate(read_nodes):
-                if n == h and positions[i] is not None:
-                    spans.append((read, positions[i][0], positions[i][1]))
+            for p in _occ(read).get(h, ()):
+                spans.append((read, p[0], p[1]))
         fp = tuple(spans)
         cached = store.get(h) if store is not None else None
         if cached is not None and cached[0] == fp:
@@ -783,12 +881,21 @@ def get_path_to_alignment_mapping(alignment):
 
 
 def longest_common_sublist(a, b):
-    """Longest contiguous common sublist (construct_graph.py:1992-2014)."""
+    """Longest contiguous common sublist (construct_graph.py:1992-2014).
+    Elements intern to small ints first — the object-array broadcast
+    compared PyObjects pairwise and dominated the splice interiors."""
     len_a, len_b = len(a), len(b)
+    if len_a == 0 or len_b == 0:
+        return [], (0, -1), (0, -1)
+    ids: dict = {}
+    ai = np.fromiter(
+        (ids.setdefault(x, len(ids)) for x in a), np.int32, len_a
+    )
+    bi = np.fromiter(
+        (ids.setdefault(x, len(ids)) for x in b), np.int32, len_b
+    )
+    eq = ai[:, None] == bi[None, :]
     dp = np.zeros((len_a + 1, len_b + 1), dtype=np.int32)
-    a_arr = np.array(a, dtype=object)
-    b_arr = np.array(b, dtype=object)
-    eq = a_arr[:, None] == b_arr[None, :]
     for i in range(1, len_a + 1):
         dp[i, 1:] = np.where(eq[i - 1], dp[i - 1, :-1] + 1, 0)
     max_len = int(dp.max())
@@ -902,45 +1009,63 @@ def correct_bubble_paths(
         fw_counters[operation] = Counter(gene_mers)
         bw_counters[operation] = Counter(rev_gene_mers)
 
+    # the reorient/LCS/NW chain is a pure function of (operation, the
+    # read's gene sequence); after cleaning convergence most reads share
+    # gene sequences, so compute each distinct pair ONCE and replay the
+    # (first_idx, last_idx, alignment_subset) result per read — only the
+    # per-read position bookkeeping runs in the read loop
+    splice_cache: dict = {}
+    _MISS = object()
     for read_id in reads_to_correct:
         op = reads_to_correct[read_id]
         if op not in fw_alignments:
             continue
-        fw_alignment = fw_alignments[op]
-        rv_alignment = bw_alignments[op]
         genes_on_read = graph.get_reads()[read_id][:]
-        gene_mers_on_read = get_gene_mer_strings(genes_on_read, k)
-        read_alignment = reorient_alignment(
-            gene_mers_on_read,
-            fw_counters[op],
-            bw_counters[op],
-            fw_alignment,
-            rv_alignment,
-        )
-        if read_alignment is None:
-            continue
-        _higher_mapping, lower_mapping = get_path_to_alignment_mapping(
-            read_alignment
-        )
-        genes_in_lower = [a[1] for a in read_alignment if a[1] != "*"]
-        common, (start_path, end_path), (first_idx, last_idx) = (
-            longest_common_sublist(genes_in_lower, genes_on_read)
-        )
-        if not common:
-            continue
-        alignment_subset = read_alignment[
-            lower_mapping[start_path] : lower_mapping[end_path] + 1
-        ]
-        alignment_subset = modify_alignment_subset(
-            alignment_subset, genes_on_read[first_idx : last_idx + 1]
-        )
-        if len(alignment_subset) != 0:
-            correct_genes_on_read(
-                graph, genes_on_read, first_idx, last_idx, alignment_subset, read_id
+        key = (op, tuple(genes_on_read))
+        hit = splice_cache.get(key, _MISS)
+        if hit is _MISS:
+            hit = None
+            gene_mers_on_read = get_gene_mer_strings(genes_on_read, k)
+            read_alignment = reorient_alignment(
+                gene_mers_on_read,
+                fw_counters[op],
+                bw_counters[op],
+                fw_alignments[op],
+                bw_alignments[op],
             )
-            correct_gene_positions_on_read(
-                graph, first_idx, last_idx, alignment_subset, read_id, fastq_data
-            )
+            if read_alignment is not None:
+                _hm, lower_mapping = get_path_to_alignment_mapping(
+                    read_alignment
+                )
+                genes_in_lower = [
+                    a[1] for a in read_alignment if a[1] != "*"
+                ]
+                common, (start_path, end_path), (first_idx, last_idx) = (
+                    longest_common_sublist(genes_in_lower, genes_on_read)
+                )
+                if common:
+                    alignment_subset = read_alignment[
+                        lower_mapping[start_path] : lower_mapping[end_path]
+                        + 1
+                    ]
+                    alignment_subset = modify_alignment_subset(
+                        alignment_subset,
+                        genes_on_read[first_idx : last_idx + 1],
+                    )
+                    if len(alignment_subset) != 0:
+                        hit = (first_idx, last_idx, alignment_subset)
+            splice_cache[key] = hit
+        if hit is None:
+            continue
+        first_idx, last_idx, alignment_subset = hit
+        correct_genes_on_read(
+            graph, genes_on_read, first_idx, last_idx, alignment_subset,
+            read_id,
+        )
+        correct_gene_positions_on_read(
+            graph, first_idx, last_idx, alignment_subset, read_id,
+            fastq_data,
+        )
     return path_coverages
 
 
@@ -983,14 +1108,12 @@ def correct_low_coverage_paths(
             continue
         starts = potential_bubble_starts[component]
         t0 = _time.time()
-        unique_paths, path_rows = get_all_paths_between_junctions_in_component(
-            graph, starts, max_distance, return_rows=True
+        levels, hash_list = get_all_paths_between_junctions_in_component(
+            graph, starts, max_distance, return_matrices=True
         )
         t1 = _time.time()
         SWEEP_STAGE_SECONDS["path_search"] += t1 - t0
-        filtered = filter_paths_between_bubble_starts(
-            graph, unique_paths, path_rows
-        )
+        filtered = filter_path_matrices(graph, levels, hash_list)
         sorted_filtered = sorted(filtered, key=lambda x: len(x[0]))
         t2 = _time.time()
         SWEEP_STAGE_SECONDS["path_filter"] += t2 - t1
