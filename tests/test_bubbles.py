@@ -211,3 +211,42 @@ def test_batch_read_kmer_index_matches_scalar():
         gp, gh = got[r]
         assert np.array_equal(gp, pos), r
         assert np.array_equal(gh, h), r
+
+
+def test_filter_path_matrices_matches_tuple_filter():
+    """The production fast path (containment filter straight on the
+    frontier search's int32 row matrices, tuples for survivors only)
+    returns exactly the same (path, coverage) set as the tuple-based
+    filter on random noisy graphs."""
+    import random
+
+    from amira_tpu.bubbles import (
+        filter_path_matrices,
+        filter_paths_between_bubble_starts,
+        get_all_paths_between_junctions_in_component,
+        identify_potential_bubble_starts,
+    )
+
+    checked = 0
+    for seed in (1, 5, 9, 13):
+        rng = random.Random(seed)
+        reads = {}
+        genes = [f"g{i}" for i in range(8)]
+        for r in range(300):
+            ln = rng.randint(3, 8)
+            reads[f"r{r}"] = [
+                rng.choice("+-") + rng.choice(genes) for _ in range(ln)
+            ]
+        graph = GeneMerGraph(reads, 3)
+        for _comp, starts in identify_potential_bubble_starts(graph).items():
+            levels, hash_list = get_all_paths_between_junctions_in_component(
+                graph, starts, 12, return_matrices=True
+            )
+            tuples = get_all_paths_between_junctions_in_component(
+                graph, starts, 12
+            )
+            got = filter_path_matrices(graph, levels, hash_list)
+            want = filter_paths_between_bubble_starts(graph, tuples)
+            assert sorted(got) == sorted(want), seed
+            checked += len(tuples)
+    assert checked > 0
