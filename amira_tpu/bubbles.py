@@ -506,6 +506,9 @@ def _containment_drop_mask(mat, lens, n_sym):
     OTHER path (forward or plain-reversed) occurs contiguously inside it.
     `mat` is the padded symbol matrix sorted by ascending row length with
     pad symbol n_sym; returns the boolean drop mask."""
+    import time as _time
+
+    _t = _time.time()
     n_paths = mat.shape[0]
     Lmax = mat.shape[1]
     rng = np.random.RandomState(0xA31)
@@ -538,6 +541,8 @@ def _containment_drop_mask(mat, lens, n_sym):
     # so later classes hash a few thousand rows instead of hundreds of
     # thousands
     alive = np.arange(n_paths)
+    SWEEP_STAGE_SECONDS["pf.build"] += _time.time() - _t
+    _t = _time.time()
     for Lq, q_idx in sorted(by_len.items()):
         q_idx_arr = np.asarray(q_idx)
         # query hashes at offset 0: forward, and plain reversal (no dir
@@ -603,6 +608,7 @@ def _containment_drop_mask(mat, lens, n_sym):
                     break
                 ci += 1
         alive = alive[~dropped[alive]]
+    SWEEP_STAGE_SECONDS["pf.loop"] += _time.time() - _t
     return dropped
 
 
@@ -671,6 +677,9 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
     # O(node incidences x read length). Span order (node.reads order,
     # then position order) is unchanged, so the persistent fingerprint
     # cache keeps hitting across builds.
+    import time as _time
+
+    _t = _time.time()
     needed = set(node_minhashes)
     occ_of_read: dict = {}
 
@@ -702,10 +711,14 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
         for read, _s, _e in spans:
             if read not in read_index and read not in missing:
                 missing[read] = fastq_data[read]["sequence"]
+    SWEEP_STAGE_SECONDS["sk.spans"] += _time.time() - _t
+    _t = _time.time()
     if missing:
         read_index.update(
             batch_read_kept_kmer_index(missing, ksize=11, scaled=10)
         )
+    SWEEP_STAGE_SECONDS["sk.hash"] += _time.time() - _t
+    _t = _time.time()
     for h in node_minhashes:
         if h not in spans_of:
             hit = store.get(h) if store is not None else None
@@ -732,6 +745,7 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
             store[h] = (fp, mh)
     for nodes in path_minimizers:
         path_minimizers[nodes] = [node_minhashes[h] for h in nodes]
+    SWEEP_STAGE_SECONDS["sk.assemble"] += _time.time() - _t
     return path_minimizers
 
 
@@ -964,6 +978,9 @@ def correct_bubble_paths(
     min_path_coverage,
     threshold=0.80,
 ):
+    import time as _time
+
+    _t = _time.time()
     k = graph.get_kmerSize()
     seen_nodes: dict = {}
     correction_operations: set = set()
@@ -982,6 +999,8 @@ def correct_bubble_paths(
                 threshold,
             )
     get_path_reads_to_correct(graph, reads_to_correct, seen_nodes)
+    SWEEP_STAGE_SECONDS["co.pairs"] += _time.time() - _t
+    _t = _time.time()
 
     fw_alignments, bw_alignments = {}, {}
     fw_counters, bw_counters = {}, {}
@@ -1009,6 +1028,8 @@ def correct_bubble_paths(
         fw_counters[operation] = Counter(gene_mers)
         bw_counters[operation] = Counter(rev_gene_mers)
 
+    SWEEP_STAGE_SECONDS["co.align"] += _time.time() - _t
+    _t = _time.time()
     # the reorient/LCS/NW chain is a pure function of (operation, the
     # read's gene sequence); after cleaning convergence most reads share
     # gene sequences, so compute each distinct pair ONCE and replay the
@@ -1066,6 +1087,7 @@ def correct_bubble_paths(
             graph, first_idx, last_idx, alignment_subset, read_id,
             fastq_data,
         )
+    SWEEP_STAGE_SECONDS["co.reads"] += _time.time() - _t
     return path_coverages
 
 
@@ -1081,6 +1103,17 @@ SWEEP_STAGE_SECONDS = {
     "ps.group": 0.0,
     "ps.canon": 0.0,
     "ps.tuples": 0.0,
+    # containment filter internals
+    "pf.build": 0.0,
+    "pf.loop": 0.0,
+    # sketch internals
+    "sk.spans": 0.0,
+    "sk.hash": 0.0,
+    "sk.assemble": 0.0,
+    # correction internals
+    "co.pairs": 0.0,
+    "co.align": 0.0,
+    "co.reads": 0.0,
 }
 
 
