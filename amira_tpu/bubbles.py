@@ -739,7 +739,10 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
             parts.append(span_hashes(idx, s, e, ksize=11))
         mh = MinHash(ksize=11, scaled=10)
         if parts:
-            mh._hashes = set(np.unique(np.concatenate(parts)).tolist())
+            # sorted distinct array; the Python set materializes only if
+            # a set consumer asks (MinHash.hashes) — the batched
+            # containment pass below works on the arrays directly
+            mh._arr = np.unique(np.concatenate(parts))
         node_minhashes[h] = mh
         if store is not None:
             store[h] = (fp, mh)
@@ -756,6 +759,42 @@ def get_minimizers_from_minhashes(path_nodes, path_minimizers):
     return s
 
 
+def _path_minimizer_array(nodes_key, path_minimizers, cache):
+    """Distinct minimizer hashes of a path as a sorted uint64 array —
+    the array twin of get_minimizers_from_minhashes. Cached per path:
+    the pairwise containment pass re-derived the LOWER path's union for
+    every higher partner (O(paths^2) set unions, the sweep's largest
+    correction cost at 500k)."""
+    arr = cache.get(nodes_key)
+    if arr is None:
+        parts = []
+        for mh in path_minimizers[nodes_key]:
+            a = mh._arr
+            if a is None:
+                h = mh.hashes
+                a = np.fromiter(h, np.uint64, len(h))
+                a.sort()
+            parts.append(a)
+        if parts:
+            arr = np.unique(np.concatenate(parts))
+        else:
+            arr = np.empty(0, np.uint64)
+        cache[nodes_key] = arr
+    return arr
+
+
+def _sorted_intersection_size(a, b):
+    """|a ∩ b| for sorted distinct uint64 arrays (binary-search merge —
+    np.intersect1d would re-sort the concatenation)."""
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    idx_c = np.minimum(idx, len(b) - 1)
+    return int(np.count_nonzero(b[idx_c] == a))
+
+
 # ----------------------------------------------------- correction operations
 
 
@@ -767,10 +806,18 @@ def define_correction_operations(
     path_minimizers,
     seen_nodes,
     threshold,
+    minimizer_arrays=None,
 ):
+    """Pairwise sketch-containment corrections within one terminal bin
+    (construct_graph.py:2196-2265 semantics). Containment runs on sorted
+    distinct hash ARRAYS with the per-path union cached across the whole
+    sweep (`minimizer_arrays`) — the set-based pass re-unioned the lower
+    path's node sketches once per higher partner."""
     corrected_paths = set()
     for p in paths:
         path_coverages.append(p[1])
+    if minimizer_arrays is None:
+        minimizer_arrays = {}
     for i in range(len(paths)):
         higher_path, higher_cov = paths[i]
         higher_nodes = [n[0] for n in higher_path]
@@ -780,8 +827,10 @@ def define_correction_operations(
             continue
         if any(n in seen_nodes for n in higher_nodes):
             continue
-        high_minimizers = (
-            get_minimizers_from_minhashes(higher_nodes, path_minimizers)
+        high_arr = (
+            _path_minimizer_array(
+                higher_tuple, path_minimizers, minimizer_arrays
+            )
             if path_minimizers is not None
             else None
         )
@@ -797,14 +846,14 @@ def define_correction_operations(
                 # reference cannot reach this state: its None path raises;
                 # the pipeline always computes sketches)
                 continue
-            low_minimizers = get_minimizers_from_minhashes(
-                lower_nodes, path_minimizers
+            low_arr = _path_minimizer_array(
+                lower_tuple, path_minimizers, minimizer_arrays
             )
-            if not low_minimizers or not high_minimizers:
+            if len(low_arr) == 0 or len(high_arr) == 0:
                 continue
-            inter = len(high_minimizers & low_minimizers)
+            inter = _sorted_intersection_size(high_arr, low_arr)
             containment = max(
-                inter / len(low_minimizers), inter / len(high_minimizers)
+                inter / len(low_arr), inter / len(high_arr)
             )
             if containment > threshold:
                 operation = (lower_tuple, higher_tuple, lower_cov, higher_cov)
@@ -986,6 +1035,7 @@ def correct_bubble_paths(
     correction_operations: set = set()
     reads_to_correct: dict = {}
     path_coverages: list = []
+    minimizer_arrays: dict = {}  # per-path union cache, sweep-wide
     for pair in bubbles:
         if len(bubbles[pair]) > 1:
             paths = sorted(list(bubbles[pair]), key=lambda x: x[1], reverse=True)
@@ -997,6 +1047,7 @@ def correct_bubble_paths(
                 path_minimizers,
                 seen_nodes,
                 threshold,
+                minimizer_arrays,
             )
     get_path_reads_to_correct(graph, reads_to_correct, seen_nodes)
     SWEEP_STAGE_SECONDS["co.pairs"] += _time.time() - _t

@@ -177,13 +177,19 @@ def span_hashes(index, s: int, e: int, ksize: int = 11) -> np.ndarray:
 class MinHash:
     """FracMinHash: retains k-mer hashes below 2^64/scaled."""
 
-    __slots__ = ("ksize", "scaled", "_hashes", "_max_hash")
+    __slots__ = ("ksize", "scaled", "_hashes", "_max_hash", "_arr")
 
     def __init__(self, ksize: int = 11, scaled: int = 10):
         self.ksize = ksize
         self.scaled = scaled
         self._hashes: set[int] = set()
         self._max_hash = int(2**64 // scaled) if scaled > 1 else None
+        # bulk producers (bubbles.get_minhashes_for_paths) deposit the
+        # distinct hashes as a sorted uint64 array; the Python set
+        # materializes lazily on first .hashes access — set construction
+        # of millions of ints per sweep was a measured hot spot, and the
+        # batched consumers only need array intersections
+        self._arr = None
 
     def add_sequence(self, seq: str, force: bool = True):
         codes = encode_dna(seq)
@@ -193,23 +199,26 @@ class MinHash:
         h = _splitmix64_np(kmers)
         if self._max_hash is not None:
             h = h[h < np.uint64(self._max_hash)]
-        self._hashes.update(int(x) for x in np.unique(h))
+        self.hashes.update(int(x) for x in np.unique(h))
 
     @property
     def hashes(self) -> set[int]:
+        if self._arr is not None:
+            self._hashes = set(self._arr.tolist())
+            self._arr = None
         return self._hashes
 
     def add_many(self, other: "MinHash"):
-        self._hashes.update(other._hashes)
+        self.hashes.update(other.hashes)
 
     def contained_by(self, other: "MinHash") -> float:
         """|self ∩ other| / |self| (sourmash containment)."""
-        if not self._hashes:
+        if not self.hashes:
             return 0.0
-        return len(self._hashes & other._hashes) / len(self._hashes)
+        return len(self.hashes & other.hashes) / len(self.hashes)
 
     def jaccard(self, other: "MinHash") -> float:
-        union = self._hashes | other._hashes
+        union = self.hashes | other.hashes
         if not union:
             return 0.0
-        return len(self._hashes & other._hashes) / len(union)
+        return len(self.hashes & other.hashes) / len(union)
