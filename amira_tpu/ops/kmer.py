@@ -694,15 +694,29 @@ def estimate_depth_for_reads(counter: KmerCounter, sequences) -> float:
     """Median count of the reads' k-mers in the filtered table, dropping
     zero-count entries (result_utils.py:1037-1047, 1083-1086)."""
     if counter.dense is not None:
-        codes = _concat_codes(list(sequences))
-        if len(codes) < counter.k:
+        sequences = list(sequences)
+        n_codes = sum(len(s) for s in sequences) + len(sequences)
+        if n_codes < counter.k:
             return 0.0
-        n_pad = _pow2_bucket(len(codes), 1 << 12)
-        if n_pad != len(codes):
-            codes = np.concatenate(
-                [codes, np.full(n_pad - len(codes), _SENTINEL, np.uint8)]
+        n_pad = _pow2_bucket(n_codes, 1 << 12)
+        words = bad = None
+        from amira_tpu.native import load as _load_native
+
+        native = _load_native()
+        if native is not None and hasattr(native, "pack_dna_chunk"):
+            wb, bb, idx, off = native.pack_dna_chunk(
+                sequences, 0, 0, n_pad, counter.k
             )
-        words, bad = _pack_codes_2bit(codes)
+            if idx == len(sequences):  # all reads fit in one buffer
+                words = np.frombuffer(wb, np.uint32)
+                bad = np.frombuffer(bb, np.uint8)
+        if words is None:
+            codes = _concat_codes(sequences)
+            if n_pad != len(codes):
+                codes = np.concatenate(
+                    [codes, np.full(n_pad - len(codes), _SENTINEL, np.uint8)]
+                )
+            words, bad = _pack_codes_2bit(codes)
         med2, nnz = _dense_query_median(counter.dense, words, bad, counter.k)
         if int(nnz) == 0:
             return 0.0
