@@ -779,7 +779,9 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
                 w += 1
         lo = np.searchsorted(gpos, q_lo, side="left")
         hi = np.searchsorted(gpos, q_hi, side="right")
-        counts = hi - lo
+        # spans shorter than ksize give hi < lo; hashes[lo:hi] is empty
+        # under slice semantics, so clamp to zero-count
+        counts = np.maximum(hi - lo, 0)
         total = int(counts.sum())
         starts = np.repeat(lo, counts)
         base_ix = np.concatenate([[0], np.cumsum(counts)[:-1]])

@@ -250,3 +250,38 @@ def test_filter_path_matrices_matches_tuple_filter():
             assert sorted(got) == sorted(want), seed
             checked += len(tuples)
     assert checked > 0
+
+
+def test_node_sketch_short_span_empty():
+    """A (read, span) shorter than the sketch k-mer size contributes no
+    hashes (span_hashes slice semantics); the batched global-searchsorted
+    assembly must clamp, not crash (regression: negative repeat counts)."""
+    from amira_tpu.bubbles import get_minhashes_for_paths
+    from amira_tpu.graph import GeneMerGraph
+
+    reads = {
+        "r1": ["+a", "+b", "+c", "+d"],
+        "r2": ["+a", "+b", "+c", "+d"],
+        "r3": ["+a", "+b", "+x", "+d"],
+    }
+    # one gene span of 4 bases (< ksize 11) on every read
+    positions = {
+        r: [(0, 3), (4, 120), (121, 240), (241, 360)] for r in reads
+    }
+    fastq = {
+        r: {"sequence": "ACGTACGTAC" * 40, "quality": "I" * 400}
+        for r in reads
+    }
+    graph = GeneMerGraph(reads, 3, positions)
+    paths = []
+    for comp in graph.components():
+        nodes = [n.hash for n in graph.get_nodes_in_component(comp)]
+        if len(nodes) >= 2:
+            paths.append(
+                (tuple((h, 1) for h in nodes[:2]), 1.0)
+            )
+    assert paths
+    mins = get_minhashes_for_paths(graph, paths, fastq)
+    for key, mhs in mins.items():
+        for mh in mhs:
+            assert isinstance(mh.hashes, set)
