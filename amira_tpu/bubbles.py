@@ -738,24 +738,30 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
             spans_of[h] = []  # unreachable; defensive
         todo.append(h)
     if todo:
-        for h in todo:
-            for read, _s, _e in spans_of[h]:
-                if read not in read_index:
-                    read_index[read] = read_kept_kmer_index(
-                        fastq_data[read]["sequence"], ksize=11, scaled=10
-                    )
         rank_of: dict = {}
         gpos_parts, ghash_parts = [], []
+        q_rank: list = []
+        q_s: list = []
+        q_e: list = []
         for h in todo:
-            for read, _s, _e in spans_of[h]:
-                if read not in rank_of:
-                    rank_of[read] = len(rank_of)
-                    pos, hashes = read_index[read]
+            for read, s, e in spans_of[h]:
+                rk = rank_of.get(read)
+                if rk is None:
+                    rk = rank_of[read] = len(rank_of)
+                    idx = read_index.get(read)
+                    if idx is None:
+                        idx = read_index[read] = read_kept_kmer_index(
+                            fastq_data[read]["sequence"], ksize=11,
+                            scaled=10,
+                        )
+                    pos, hashes = idx
                     gpos_parts.append(
-                        pos.astype(np.int64)
-                        + (len(rank_of) - 1) * _SPAN_OFFS
+                        pos.astype(np.int64) + rk * _SPAN_OFFS
                     )
                     ghash_parts.append(hashes)
+                q_rank.append(rk)
+                q_s.append(s)
+                q_e.append(e)
         gpos = (
             np.concatenate(gpos_parts) if gpos_parts
             else np.zeros(0, np.int64)
@@ -768,15 +774,13 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
             (len(spans_of[h]) for h in todo), np.int64, len(todo)
         )
         total_spans = int(n_spans_per_node.sum())
-        q_lo = np.empty(total_spans, np.int64)
-        q_hi = np.empty(total_spans, np.int64)
-        w = 0
-        for h in todo:
-            for read, s, e in spans_of[h]:
-                base = rank_of[read] * _SPAN_OFFS
-                q_lo[w] = base + s
-                q_hi[w] = base + (e - 11 + 1)
-                w += 1
+        qr = np.fromiter(q_rank, np.int64, total_spans)
+        q_lo = qr * _SPAN_OFFS + np.fromiter(q_s, np.int64, total_spans)
+        q_hi = (
+            qr * _SPAN_OFFS
+            + np.fromiter(q_e, np.int64, total_spans)
+            - (11 - 1)
+        )
         lo = np.searchsorted(gpos, q_lo, side="left")
         hi = np.searchsorted(gpos, q_hi, side="right")
         # spans shorter than ksize give hi < lo; hashes[lo:hi] is empty
