@@ -19,9 +19,6 @@ from amira_tpu.correct import needleman_wunsch, replace_invalid_gene_positions
 from amira_tpu.sketch import MinHash
 from amira_tpu.stree import SequenceIndex
 
-# per-read base offset for the global span-lookup trick in
-# get_minhashes_for_paths: must exceed any in-read position
-_SPAN_OFFS = np.int64(1) << np.int64(33)
 
 
 # --------------------------------------------------------------- primitives
@@ -647,6 +644,7 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
     from amira_tpu.sketch import (
         batch_read_kept_kmer_index,
         read_kept_kmer_index,
+        span_hashes,
     )
 
     node_minhashes: dict = {}
@@ -722,13 +720,11 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
         )
     SWEEP_STAGE_SECONDS["sk.hash"] += _time.time() - _t
     _t = _time.time()
-    # resolve fingerprint hits, then assemble every remaining node sketch
-    # in ONE vectorized pass: all spans' [lo, hi) ranges come from two
-    # global searchsorted calls over the per-read kept-hash indexes
-    # concatenated with rank offsets (the per-span span_hashes calls were
-    # the sweep's largest remaining sketch cost), then per-node np.unique
-    # over segment slices. Value-identical to per-span span_hashes.
-    todo: list = []
+    # resolve fingerprint hits, then assemble the remaining node sketches
+    # span by span (a fully-global searchsorted + gather variant was
+    # tried and ran SLOWER: its flattened hash stream materialized ~GB of
+    # int64 temporaries on this host; the per-span slice extraction is
+    # cheap — np.unique per node is the floor either way)
     for h in node_minhashes:
         if h not in spans_of:
             hit = store.get(h) if store is not None else None
@@ -736,78 +732,24 @@ def get_minhashes_for_paths(graph, sorted_filtered_paths, fastq_data):
                 node_minhashes[h] = hit[1]
                 continue
             spans_of[h] = []  # unreachable; defensive
-        todo.append(h)
-    if todo:
-        rank_of: dict = {}
-        gpos_parts, ghash_parts = [], []
-        q_rank: list = []
-        q_s: list = []
-        q_e: list = []
-        for h in todo:
-            for read, s, e in spans_of[h]:
-                rk = rank_of.get(read)
-                if rk is None:
-                    rk = rank_of[read] = len(rank_of)
-                    idx = read_index.get(read)
-                    if idx is None:
-                        idx = read_index[read] = read_kept_kmer_index(
-                            fastq_data[read]["sequence"], ksize=11,
-                            scaled=10,
-                        )
-                    pos, hashes = idx
-                    gpos_parts.append(
-                        pos.astype(np.int64) + rk * _SPAN_OFFS
-                    )
-                    ghash_parts.append(hashes)
-                q_rank.append(rk)
-                q_s.append(s)
-                q_e.append(e)
-        gpos = (
-            np.concatenate(gpos_parts) if gpos_parts
-            else np.zeros(0, np.int64)
-        )
-        ghash = (
-            np.concatenate(ghash_parts) if ghash_parts
-            else np.zeros(0, np.uint64)
-        )
-        n_spans_per_node = np.fromiter(
-            (len(spans_of[h]) for h in todo), np.int64, len(todo)
-        )
-        total_spans = int(n_spans_per_node.sum())
-        qr = np.fromiter(q_rank, np.int64, total_spans)
-        q_lo = qr * _SPAN_OFFS + np.fromiter(q_s, np.int64, total_spans)
-        q_hi = (
-            qr * _SPAN_OFFS
-            + np.fromiter(q_e, np.int64, total_spans)
-            - (11 - 1)
-        )
-        lo = np.searchsorted(gpos, q_lo, side="left")
-        hi = np.searchsorted(gpos, q_hi, side="right")
-        # spans shorter than ksize give hi < lo; hashes[lo:hi] is empty
-        # under slice semantics, so clamp to zero-count
-        counts = np.maximum(hi - lo, 0)
-        total = int(counts.sum())
-        starts = np.repeat(lo, counts)
-        base_ix = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            base_ix, counts
-        )
-        flat_hashes = ghash[starts + within]
-        # per-node segment boundaries over the flattened hash stream
-        span_seg = np.concatenate([[0], np.cumsum(n_spans_per_node)])
-        hash_cum = np.concatenate([[0], np.cumsum(counts)])
-        for ni, h in enumerate(todo):
-            a = int(hash_cum[span_seg[ni]])
-            b = int(hash_cum[span_seg[ni + 1]])
-            mh = MinHash(ksize=11, scaled=10)
-            if b > a:
-                # sorted distinct array; the Python set materializes only
-                # if a set consumer asks (MinHash.hashes) — the batched
-                # containment pass below works on the arrays directly
-                mh._arr = np.unique(flat_hashes[a:b])
-            node_minhashes[h] = mh
-            if store is not None:
-                store[h] = (tuple(spans_of[h]), mh)
+        spans = spans_of[h]
+        parts = []
+        for read, s, e in spans:
+            idx = read_index.get(read)
+            if idx is None:
+                idx = read_index[read] = read_kept_kmer_index(
+                    fastq_data[read]["sequence"], ksize=11, scaled=10
+                )
+            parts.append(span_hashes(idx, s, e, ksize=11))
+        mh = MinHash(ksize=11, scaled=10)
+        if parts:
+            # sorted distinct array; the Python set materializes only if
+            # a set consumer asks (MinHash.hashes) — the batched
+            # containment pass below works on the arrays directly
+            mh._arr = np.unique(np.concatenate(parts))
+        node_minhashes[h] = mh
+        if store is not None:
+            store[h] = (tuple(spans), mh)
     for nodes in path_minimizers:
         path_minimizers[nodes] = [node_minhashes[h] for h in nodes]
     SWEEP_STAGE_SECONDS["sk.assemble"] += _time.time() - _t
