@@ -78,14 +78,15 @@ def main():
     )
     from synthetic import make_isolate
 
-    # the scale harness's genome shape at reduced size: amrX at two loci,
-    # amrY at one, plus enough single-copy genes for realistic context
+    # the scale harness's genome shape: amrX at two loci, amrY at one,
+    # plus single-copy genes (E. coli-like gene count, so 20k reads give
+    # ~75x per-gene depth — a realistic ONT isolate)
     layout = []
-    for i in range(400):
+    for i in range(4000):
         layout.append(f"gene{i}")
-        if i in (50, 290):
+        if i in (500, 2900):
             layout.append("amrX")
-        if i == 170:
+        if i == 1700:
             layout.append("amrY")
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -95,8 +96,8 @@ def main():
         n_reads=args.reads,
         layout=layout,
         amr_genes=("amrX", "amrY"),
-        genes_per_read=(8, 14),
-        gene_len=500,
+        genes_per_read=(10, 20),
+        gene_len=400,
         sub=args.sub,
         indel=args.indel,
         fast=True,
