@@ -110,32 +110,71 @@ def identify_path_terminals(nodes, start, end):
     return terminals
 
 
+def _insert_elements_sequential(base_list, insert_dict):
+    """Sequential delete/insert with running offsets — the original
+    bookkeeping, kept as the fallback for span layouts the stitched fast
+    path does not model (construct_graph.py:1166-1203)."""
+    lists_with_keys = [
+        [(key, element) for element in lst]
+        for key, lst in insert_dict.items()
+    ]
+    results = []
+    for combination in product(*lists_with_keys):
+        lst = base_list[:]
+        offset = 0
+        for (s, e), path in combination:
+            point = s + offset
+            del lst[point : e + offset + 1]
+            lst[point:point] = path
+            offset += len(path) - (e - s + 1)
+        results.append(lst)
+    return results
+
+
 def insert_elements(base_list, insert_dict):
     """Every combination of replacing each (start, end) span of
     `base_list` with one of its candidate paths (behavioral contract:
-    construct_graph.py:1166-1203; spans arrive disjoint and in ascending
-    position order from identify_path_terminals).
-
-    Expressed as segment stitching: the kept gaps between spans are
-    sliced once up front and each combination is a single concatenation
-    — no per-combination in-place delete/insert with running offsets."""
+    construct_graph.py:1166-1203). Spans arrive in ascending position
+    order from identify_path_terminals and ADJACENT spans may share a
+    boundary index (consecutive bubbles share a junction node); under
+    the sequential bookkeeping a later overlapping span trims the tail
+    of the previous replacement, which the stitched expression below
+    reproduces directly. Any layout outside that contract falls back to
+    the sequential original."""
     if not insert_dict:
         return [base_list]
     spans = list(insert_dict)
-    gaps = []
-    prev_end = 0
-    for s, e in spans:
-        gaps.append(base_list[prev_end:s])
-        prev_end = e + 1
-    tail = base_list[prev_end:]
+    n = len(spans)
+    # validate the ascending / non-nested contract once
+    for i in range(1, n):
+        if (
+            spans[i][0] <= spans[i - 1][0]
+            or spans[i][1] <= spans[i - 1][1]
+        ):
+            # out-of-order or nested spans: use the faithful fallback
+            return _insert_elements_sequential(base_list, insert_dict)
     results = []
     for combo in product(*(insert_dict[sp] for sp in spans)):
-        lst: list = []
-        for gap, path in zip(gaps, combo):
-            lst += gap
-            lst += path
-        lst += tail
-        results.append(lst)
+        parts: list = [base_list[: spans[0][0]]]
+        ok = True
+        for i, ((s, e), path) in enumerate(zip(spans, combo)):
+            if i + 1 < n:
+                nxt_s = spans[i + 1][0]
+                if nxt_s <= e:
+                    trim = e - nxt_s + 1
+                    if trim > len(path):
+                        ok = False
+                        break
+                    parts.append(path[: len(path) - trim])
+                else:
+                    parts.append(path)
+                    parts.append(base_list[e + 1 : nxt_s])
+            else:
+                parts.append(path)
+                parts.append(base_list[e + 1 :])
+        if not ok:
+            return _insert_elements_sequential(base_list, insert_dict)
+        results.append([x for seg in parts for x in seg])
     return results
 
 
