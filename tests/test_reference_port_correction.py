@@ -182,3 +182,38 @@ def test_trim_fringe_nodes(ref_name, expected_nodes, expected_read_counts):
         dict(Counter(len(n.get_list_of_reads()) for n in trimmed.all_nodes()))
         == expected_read_counts
     )
+
+
+def test_insert_elements_fuzz_matches_sequential():
+    """Stitched insert_elements equals the sequential delete/insert
+    bookkeeping on random span layouts, including the boundary-sharing
+    overlap adjacent bubbles produce."""
+    import random
+
+    from amira_tpu.correct import (
+        _insert_elements_sequential,
+        insert_elements,
+    )
+
+    rng = random.Random(0)
+    for _trial in range(500):
+        n = rng.randint(3, 12)
+        base = [(i, rng.choice((1, -1))) for i in range(n)]
+        spans = []
+        s = 0
+        while s < n - 1 and len(spans) < 3:
+            e = min(n - 1, s + rng.randint(1, 3))
+            spans.append((s, e))
+            s = e if rng.random() < 0.5 else e + rng.randint(1, 3)
+        ins = {}
+        for s0, e0 in spans:
+            opts = []
+            for _ in range(rng.randint(1, 2)):
+                length = rng.randint(e0 - s0 + 1, e0 - s0 + 4)
+                opts.append(
+                    [(100 + rng.randint(0, 50), 1) for _ in range(length)]
+                )
+            ins[(s0, e0)] = opts
+        got = insert_elements(list(base), dict(ins))
+        want = _insert_elements_sequential(list(base), dict(ins))
+        assert got == want
