@@ -513,24 +513,29 @@ def _containment_drop_mask(mat, lens, n_sym):
     n_paths = mat.shape[0]
     Lmax = mat.shape[1]
     rng = np.random.RandomState(0xA31)
-    sym_rand = rng.randint(0, 2**63, size=n_sym + 1, dtype=np.uint64)
+    sym_rand = rng.randint(0, 2**32, size=n_sym + 1, dtype=np.uint64).astype(
+        np.uint32
+    )
     rmat = sym_rand[mat]
     # prefix polynomial hash: H(window at o, len L) =
-    #   (pref[o+L] - pref[o]) * B^-o  with B odd (invertible mod 2^64) —
+    #   (pref[o+L] - pref[o]) * B^-o  with B odd (invertible mod 2^32) —
     # every window of every length comes from ONE cumsum, O(1) apiece (a
     # per-length windowed dot product re-scanned the whole matrix per
-    # length class and was SLOWER than the posting index it replaced)
-    # powers computed in Python ints mod 2^64 (numpy would warn on the
-    # intended wraparound)
-    B = 0x9E3779B97F4A7C15 | 1
-    Binv = pow(B, -1, 1 << 64)
+    # length class and was SLOWER than the posting index it replaced).
+    # 32-bit lanes: the screen only SHORTLISTS — every hash hit gets an
+    # exact row verification below, so collisions cost retries, never
+    # answers, and halving the element width halves this loop's memory
+    # traffic (it runs at host bandwidth). Powers in Python ints mod 2^32
+    # (numpy would warn on the intended wraparound).
+    B = 0x9E3779B1 | 1
+    Binv = pow(B, -1, 1 << 32)
     Bpow = np.array(
-        [pow(B, j, 1 << 64) for j in range(Lmax + 1)], dtype=np.uint64
+        [pow(B, j, 1 << 32) for j in range(Lmax + 1)], dtype=np.uint32
     )
     Binv_pow = np.array(
-        [pow(Binv, j, 1 << 64) for j in range(Lmax + 1)], dtype=np.uint64
+        [pow(Binv, j, 1 << 32) for j in range(Lmax + 1)], dtype=np.uint32
     )
-    pref = np.zeros((n_paths, Lmax + 1), np.uint64)
+    pref = np.zeros((n_paths, Lmax + 1), np.uint32)
     np.cumsum(rmat * Bpow[None, :Lmax], axis=1, out=pref[:, 1:])
     dropped = np.zeros(n_paths, bool)
     by_len: dict = {}
@@ -550,7 +555,7 @@ def _containment_drop_mask(mat, lens, n_sym):
         # flip) hashed directly from the reversed token rows
         q_hash = pref[q_idx_arr, Lq] - pref[q_idx_arr, 0]
         qrows_r = rmat[q_idx_arr, :Lq][:, ::-1]
-        qr_hash = (qrows_r * Bpow[None, :Lq]).sum(axis=1, dtype=np.uint64)
+        qr_hash = (qrows_r * Bpow[None, :Lq]).sum(axis=1, dtype=np.uint32)
         # candidate table sorted by hash for vectorized first-match lookup
         q_all_hash = np.concatenate([q_hash, qr_hash])
         q_all_ids = np.concatenate([q_idx_arr, q_idx_arr])
