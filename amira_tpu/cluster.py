@@ -792,62 +792,65 @@ def split_into_subpaths(
 def assign_final_alleles_to_components(
     graph, finalAllelesOfInterest, clustered_reads, allele_counts, geneOfInterest
 ):
-    """(construct_graph.py:2784-2807)"""
-    for allele in finalAllelesOfInterest:
+    """Place each final allele's member list into the component of its
+    FIRST member's first live graph node, numbering alleles per gene
+    (behavioral contract: construct_graph.py:2784-2807 — including the
+    first-member-only component probe)."""
+    read_nodes = graph.get_readNodes()
+    live = graph.get_nodes()
+    for allele, members in finalAllelesOfInterest.items():
         component = None
-        for read_id in finalAllelesOfInterest[allele]:
-            base_read = "_".join(read_id.split("_")[:-2])
-            for node_hash in graph.get_readNodes()[base_read]:
-                if node_hash is not None and node_hash in graph.get_nodes():
-                    component = graph.get_node_by_hash(node_hash).component
-                    break
-            break
+        if members:
+            src = "_".join(members[0].split("_")[:-2])
+            component = next(
+                (
+                    graph.get_node_by_hash(h).component
+                    for h in read_nodes[src]
+                    if h is not None and h in live
+                ),
+                None,
+            )
+        # NB: an underscore-free name maps to "" (the upstream quirk)
         gene_name = "_".join(allele.split("_")[:-1])
-        if gene_name not in allele_counts:
-            allele_counts[gene_name] = 1
-        if component not in clustered_reads:
-            clustered_reads[component] = {}
-        if geneOfInterest not in clustered_reads[component]:
-            clustered_reads[component][geneOfInterest] = {}
-        clustered_reads[component][geneOfInterest][
-            f"{gene_name}_{allele_counts[gene_name]}"
-        ] = finalAllelesOfInterest[allele]
-        allele_counts[gene_name] += 1
+        n = allele_counts.setdefault(gene_name, 1)
+        bucket = clustered_reads.setdefault(component, {}).setdefault(
+            geneOfInterest, {}
+        )
+        bucket[f"{gene_name}_{n}"] = members
+        allele_counts[gene_name] = n + 1
 
 
 def collect_component_missed_genes(
     graph, component_nodeHashesOfInterest, clustered_reads, allele_counts,
     geneOfInterest, path_reads,
 ):
-    """Sweep up AMR genes that got no path cluster in a component
-    (construct_graph.py:2831-2878)."""
-    for component in component_nodeHashesOfInterest:
-        nodeHashesOfInterest = component_nodeHashesOfInterest[component]
-        if component not in clustered_reads:
-            clustered_reads[component] = {}
-        if geneOfInterest not in clustered_reads[component]:
-            clustered_reads[component][geneOfInterest] = {}
-        if len(clustered_reads[component][geneOfInterest]) == 0:
-            if geneOfInterest not in allele_counts:
-                allele_counts[geneOfInterest] = 1
-            allele_name = f"{geneOfInterest}_{allele_counts[geneOfInterest]}"
-            allele_name_tuple = tuple([f"+{allele_name}"])
-            clustered_reads[component][geneOfInterest][allele_name] = []
-            reads = graph.collect_reads_in_path(nodeHashesOfInterest)
-            for read_id in reads:
-                genes = graph.get_reads()[read_id]
-                indices = [
-                    i for i, gene in enumerate(genes) if gene[1:] == geneOfInterest
-                ]
-                for i in indices:
-                    gene_start, gene_end = graph.get_gene_positions()[read_id][i]
-                    clustered_reads[component][geneOfInterest][allele_name].append(
-                        f"{read_id}_{gene_start}_{gene_end}"
-                    )
-                if allele_name_tuple not in path_reads:
-                    path_reads[allele_name_tuple] = set()
-                path_reads[allele_name_tuple].add(read_id)
-            allele_counts[geneOfInterest] += 1
+    """Sweep up AMR genes that got no path cluster in a component: every
+    component whose gene bucket stayed empty receives one synthetic
+    allele holding all of that gene's spans on the component's reads
+    (behavioral contract: construct_graph.py:2831-2878 — allele naming,
+    span-string format, and path_reads support sets)."""
+    reads_map = graph.get_reads()
+    positions_map = graph.get_gene_positions()
+    for component, node_hashes in component_nodeHashesOfInterest.items():
+        by_gene = clustered_reads.setdefault(component, {})
+        bucket = by_gene.setdefault(geneOfInterest, {})
+        if bucket:
+            continue  # the path clustering already covered this component
+        n = allele_counts.setdefault(geneOfInterest, 1)
+        allele_name = f"{geneOfInterest}_{n}"
+        spans = bucket[allele_name] = []
+        reads = graph.collect_reads_in_path(node_hashes)
+        if reads:
+            support = path_reads.setdefault((f"+{allele_name}",), set())
+        for read_id in reads:
+            pos = positions_map[read_id]
+            spans.extend(
+                f"{read_id}_{pos[i][0]}_{pos[i][1]}"
+                for i, g in enumerate(reads_map[read_id])
+                if g[1:] == geneOfInterest
+            )
+            support.add(read_id)
+        allele_counts[geneOfInterest] = n + 1
 
 
 def assign_reads_to_genes(
