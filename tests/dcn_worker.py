@@ -98,6 +98,86 @@ def main():
         result["expected_total"] = int(
             np.maximum(lengths - (k - 1), 0).sum()
         )
+
+    # ---- second cross-process collective: the bin-sharded DNA k-mer
+    # table (psum_scatter over the data axis spans the process boundary)
+    from amira_tpu.ops import kmer as KM
+    from amira_tpu.parallel.distgraph import make_distributed_kmer_step
+
+    kk = 7
+    rng2 = np.random.RandomState(5)
+    bases = np.array(list("ACGTN"))
+    seqs = [
+        "".join(rng2.choice(bases, size=int(rng2.randint(30, 400)),
+                            p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        for _ in range(40)
+    ]
+    seqs.append("".join(rng2.choice(bases[:4], size=9000)))
+    codes = KM._concat_codes(seqs)
+    kmesh = Mesh(np.array(devices), ("kdata",))
+    D = 8
+    n = len(codes)
+    starts_b, ends_b = [0], []
+    for di in range(1, D):
+        cut = max(min(n, (n * di) // D), starts_b[-1])
+        next_start = cut
+        if 0 < cut < n:
+            seps = np.nonzero(codes[starts_b[-1] : cut] == KM._SENTINEL)[0]
+            if len(seps):
+                cut = starts_b[-1] + int(seps[-1]) + 1
+                next_start = cut
+            elif codes[cut - 1] != KM._SENTINEL:
+                next_start = max(cut - (kk - 1), starts_b[-1])
+        ends_b.append(cut)
+        starts_b.append(next_start)
+    ends_b.append(n)
+    chunks = [codes[starts_b[d] : ends_b[d]] for d in range(D)]
+    chunk_len = ((max(max(len(c) for c in chunks), kk) + 15) // 16 * 16) + 16
+    words_rows, bad_rows = [], []
+    for c in chunks:
+        if len(c) < chunk_len:
+            c = np.concatenate(
+                [c, np.full(chunk_len - len(c), KM._SENTINEL, np.uint8)]
+            )
+        w, b2 = KM._pack_codes_2bit(c)
+        words_rows.append(w)
+        bad_rows.append(b2)
+    words = np.stack(words_rows)
+    bad = np.stack(bad_rows)
+    kstep = make_distributed_kmer_step(kmesh, kk, chunk_len)
+    kshard = NamedSharding(kmesh, P("kdata"))
+    gw = jax.make_array_from_callback(words.shape, kshard,
+                                      lambda idx: words[idx])
+    gb = jax.make_array_from_callback(bad.shape, kshard,
+                                      lambda idx: bad[idx])
+    ktable = kstep(gw, gb)
+    # the result is BIN-SHARDED: each process holds only its devices'
+    # bin ranges, so each process validates ITS half against the host
+    # counter (the test asserts both halves)
+    T = 4**kk + 1
+    covered = np.zeros(ktable.shape[0], bool)
+    local = np.zeros(ktable.shape[0], np.uint32)
+    for s in ktable.addressable_shards:
+        local[s.index] = np.asarray(s.data)
+        covered[s.index] = True
+    import os as _os
+
+    _os.environ["AMIRA_TPU_KMER_BACKEND"] = "host"
+    old = KM._HOST_SORT_THRESHOLD
+    KM._HOST_SORT_THRESHOLD = 1
+    try:
+        host = KM.KmerCounter.from_sequences(seqs, kk)
+    finally:
+        KM._HOST_SORT_THRESHOLD = old
+        _os.environ.pop("AMIRA_TPU_KMER_BACKEND", None)
+    expected = np.zeros(ktable.shape[0], np.uint32)
+    expected[host.kmers.astype(np.int64)] = host.counts.astype(np.uint32)
+    mask = covered.copy()
+    mask[T - 1 :] = False  # ignore the invalid-window slot + padding
+    result["kmer_matches_host"] = bool(
+        np.array_equal(local[mask], expected[mask])
+    )
+    result["kmer_bins_covered"] = int(mask.sum())
     with open(out_path, "w") as fh:
         json.dump(result, fh)
     jax.distributed.shutdown()

@@ -80,3 +80,8 @@ def test_two_process_dcn_merge_matches_serial(tmp_path):
     assert r0["matches_serial"] is True
     assert r0["total"] == r0["expected_total"] == r1["total"]
     assert r0["n_keys"] == r1["n_keys"] > 0
+    # the bin-sharded DNA k-mer table's psum_scatter also crossed the
+    # process boundary: each process's bin half equals the host counter
+    assert r0["kmer_matches_host"] is True
+    assert r1["kmer_matches_host"] is True
+    assert r0["kmer_bins_covered"] > 0 and r1["kmer_bins_covered"] > 0
