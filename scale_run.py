@@ -208,6 +208,8 @@ of phase time (VERDICT r2 #6 bar: <30%).
             if prev["seconds"] < summary["seconds"]:
                 prev["n_runs"] = summary["n_runs"]
                 summary = prev
+        elif prev and prev.get("reads", 0) > args.reads:
+            summary = prev  # never clobber a larger-scale result
         else:
             summary["n_runs"] = 1
         with open(path, "w") as fh:
